@@ -1,0 +1,298 @@
+"""Typed configuration tree for every stage of the pipeline.
+
+The reference scatters configuration over per-stage YAML/JSON/argparse
+(`/root/reference/utils/TTE/TTE_config.yaml`, `utils/vocoder/config.json`,
+`utils/aligner/aligner_train_config.yaml`) and even rewrites YAML with `sed`
+(`utils/aligner/train.sh:17-19`). Here everything is one typed dataclass tree;
+loaders accept the reference's own file formats so existing configs keep
+working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Sequence
+
+
+def _filter_kwargs(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+# ---------------------------------------------------------------------------
+# TTE (text-to-embedding) stage — reference: utils/TTE/TTE_config.yaml
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TransformerStackConfig:
+    n_layer: int = 4
+    n_head: int = 2
+    dropout_p: float = 0.1
+
+
+@dataclass(frozen=True)
+class TTEModelConfig:
+    """FFT-block transformer (reference `transformer:` + `duration_predictor:`)."""
+
+    d_model: int = 256
+    conv_n_filter: int = 1024
+    conv_kernel_sizes: tuple[int, int] = (9, 1)
+    max_len: int = 3500
+    encoder: TransformerStackConfig = field(default_factory=TransformerStackConfig)
+    decoder: TransformerStackConfig = field(default_factory=TransformerStackConfig)
+    # duration predictor (reference modules/duration.py:26-48)
+    dur_n_filter: int = 256
+    dur_kernel_size: int = 3
+    dur_dropout_p: float = 0.5
+    # data/head
+    hubert_codes: int = 1000
+    n_speaker: int = 1
+    vocab_size: int = 100
+    pad_idx: int = 0
+    # Reproduce reference quirks bit-for-bit (SURVEY.md §7 "hard parts"):
+    #   pe[seqlen] broadcast instead of pe[:seqlen]     (modules/fft.py:17-19)
+    #   double QKV projection through an extra qkv/wo   (modules/fft.py:48-57)
+    #   duration-predictor conv2 hardcoded padding=1    (modules/duration.py:34)
+    #   inference tgt_mask `ids <= length` off-by-one   (modules/data.py:18)
+    reference_compat: bool = True
+    # compute dtype for matmuls (params stay float32)
+    dtype: str = "float32"
+
+    @classmethod
+    def from_reference_yaml(cls, cfg: dict, vocab_size: int, n_speaker: int,
+                            pad_idx: int = 0) -> "TTEModelConfig":
+        t = cfg["transformer"]
+        d = cfg["duration_predictor"]
+        return cls(
+            d_model=t["d_model"],
+            conv_n_filter=t["conv_n_filter"],
+            conv_kernel_sizes=tuple(t["conv_kernel_sizes"]),
+            max_len=t["max_len"],
+            encoder=TransformerStackConfig(**_filter_kwargs(TransformerStackConfig, t["encoder"])),
+            decoder=TransformerStackConfig(**_filter_kwargs(TransformerStackConfig, t["decoder"])),
+            dur_n_filter=d["n_filter"],
+            dur_kernel_size=d["kernel_size"],
+            dur_dropout_p=d["dropout_p"],
+            hubert_codes=cfg["preprocess"]["hubert_codes"],
+            vocab_size=vocab_size,
+            n_speaker=n_speaker,
+            pad_idx=pad_idx,
+        )
+
+
+@dataclass(frozen=True)
+class TTETrainConfig:
+    """Reference `optimizer:` + `train:` sections of TTE_config.yaml."""
+
+    init_lr: float = 1e-4
+    betas: tuple[float, float] = (0.9, 0.98)
+    weight_decay: float = 0.0
+    warmup_steps: int = 2000
+    total_steps: int = 50_000
+    log_every: int = 10
+    val_every: int = 1000
+    save_every: int = 1000
+    batch_size: int = 6
+    grad_acc_steps: int = 4
+    grad_clip: float = 1.0
+    seed: int = 42
+    # static-shape bucketing (jit requirement; reference pads per-batch dynamically)
+    src_buckets: tuple[int, ...] = (64, 128, 192, 256)
+    tgt_buckets: tuple[int, ...] = (512, 1024, 2048, 3500)
+
+    @classmethod
+    def from_reference_yaml(cls, cfg: dict) -> "TTETrainConfig":
+        o, t = cfg["optimizer"], cfg["train"]
+        return cls(
+            init_lr=o["init_lr"], betas=tuple(o["betas"]),
+            weight_decay=o["weight_decay"],
+            warmup_steps=t["warmup_steps"], total_steps=t["total_steps"],
+            log_every=t["log_every"], val_every=t["val_every"],
+            save_every=t["save_every"], batch_size=t["batch_size"],
+            grad_acc_steps=t["grad_acc_steps"], grad_clip=t["grad_clip"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Vocoder stage — reference: utils/vocoder/config.json
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    """STFT/mel parameters (vocoder loss mel; reference config.json:24-35)."""
+
+    n_fft: int = 1024
+    num_mels: int = 80
+    sampling_rate: int = 16_000
+    hop_size: int = 256
+    win_size: int = 1024
+    fmin: float = 0.0
+    fmax: float | None = 8000.0
+    # torch.stft-style centering: False with manual (n_fft-hop)/2 reflect pad
+    # (reference utils/vocoder/dataset.py:55-60)
+    center: bool = False
+
+
+@dataclass(frozen=True)
+class VocoderModelConfig:
+    """Unit HiFi-GAN V1 (reference config.json + utils/vocoder/models.py)."""
+
+    resblock: str = "1"
+    upsample_rates: tuple[int, ...] = (5, 4, 4, 2, 2)
+    upsample_kernel_sizes: tuple[int, ...] = (11, 8, 8, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_embeddings: int = 1000       # HuBERT codebook size
+    embedding_dim: int = 128
+    model_in_dim: int = 256          # code emb + speaker emb concat
+    multispkr: str | None = "_"
+    num_speakers: int = 10           # reference hardcodes nn.Embedding(10, ...) models.py:130
+    dtype: str = "float32"
+
+    @property
+    def total_upsample(self) -> int:
+        r = 1
+        for u in self.upsample_rates:
+            r *= u
+        return r  # 320 == code_hop_size
+
+    @classmethod
+    def from_reference_json(cls, h: dict) -> "VocoderModelConfig":
+        return cls(
+            resblock=str(h["resblock"]),
+            upsample_rates=tuple(h["upsample_rates"]),
+            upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+            upsample_initial_channel=h["upsample_initial_channel"],
+            resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(tuple(d) for d in h["resblock_dilation_sizes"]),
+            num_embeddings=h["num_embeddings"],
+            embedding_dim=h["embedding_dim"],
+            model_in_dim=h.get("model_in_dim", 128),
+            multispkr=h.get("multispkr"),
+        )
+
+
+@dataclass(frozen=True)
+class VocoderTrainConfig:
+    """Reference config.json training keys + train.py optimizer setup."""
+
+    batch_size: int = 16
+    learning_rate: float = 2e-4
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    lr_decay: float = 0.999          # ExponentialLR gamma, per epoch
+    seed: int = 1234
+    segment_size: int = 8960
+    code_hop_size: int = 320
+    training_epochs: int = 2000
+    checkpoint_interval: int = 10_000
+    summary_interval: int = 100
+    validation_interval: int = 1000
+
+    @classmethod
+    def from_reference_json(cls, h: dict) -> "VocoderTrainConfig":
+        return cls(**_filter_kwargs(cls, h))
+
+
+# ---------------------------------------------------------------------------
+# Aligner stage — reference: utils/aligner/aligner_train_config.yaml
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AlignerAudioConfig:
+    """librosa mel for the aligner (reference utils/aligner/audio.py:30-42)."""
+
+    sample_rate: int = 16_000
+    n_filters: int = 1024            # n_fft
+    n_mels: int = 80
+    win_length: int = 1024
+    hop_length: int = 320            # == HuBERT unit hop
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    power: float = 1.0
+
+
+@dataclass(frozen=True)
+class AlignerModelConfig:
+    """conv x3 -> BiLSTM -> linear (reference utils/aligner/model.py:24-48)."""
+
+    n_mels: int = 80
+    conv_dim: int = 512
+    lstm_dim: int = 512
+    num_symbols: int = 100           # len(symbols) + 1 (CTC blank at 0)
+
+
+@dataclass(frozen=True)
+class AlignerTrainConfig:
+    learning_rate: float = 1e-4
+    batch_size: int = 16
+    epochs: int = 450
+    plot_steps: int = 1000
+    checkpoint_steps: int = 10_000
+    grad_clip: float = 1.0
+    mel_bucket_sizes: tuple[int, ...] = (256, 512, 1024, 2048)
+    token_bucket_sizes: tuple[int, ...] = (64, 128, 256, 512)
+
+
+# ---------------------------------------------------------------------------
+# Mesh / parallelism
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Reference parallelism is DP-only (SURVEY.md §2c);
+    a `model` axis is kept so larger-than-HBM configs can shard tensors."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level bundle for an end-to-end run."""
+
+    root_path: str = "runs/TTE"
+    alignment_path: str = "runs/aligner"
+    hubert_path: str = "runs/hubert_extraction/hubert.txt"
+    val_size: int = 100
+    speaker_method: str = "_"        # '_' multispeaker | 'single'
+    tte_model: TTEModelConfig = field(default_factory=TTEModelConfig)
+    tte_train: TTETrainConfig = field(default_factory=TTETrainConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+    vocoder_model: VocoderModelConfig = field(default_factory=VocoderModelConfig)
+    vocoder_train: VocoderTrainConfig = field(default_factory=VocoderTrainConfig)
+    aligner_audio: AlignerAudioConfig = field(default_factory=AlignerAudioConfig)
+    aligner_model: AlignerModelConfig = field(default_factory=AlignerModelConfig)
+    aligner_train: AlignerTrainConfig = field(default_factory=AlignerTrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+# ---------------------------------------------------------------------------
+# Loaders for the reference's file formats
+# ---------------------------------------------------------------------------
+
+
+def load_reference_tte_yaml(path: str | Path) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def load_reference_vocoder_json(path: str | Path) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def to_json(cfg: Any) -> str:
+    """Serialize any config dataclass (for saving alongside checkpoints)."""
+    return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)

@@ -1,0 +1,99 @@
+"""Device mesh + sharding layer.
+
+The reference's only distribution strategy is NCCL data-parallel DDP
+(`/root/reference/utils/vocoder/train.py:34-40`, Lightning `strategy="auto"`
+`/root/reference/train.py:158-161`). The TPU-native equivalent is a
+`jax.sharding.Mesh` with a `data` axis (and an optional `model` axis for
+headroom); XLA emits the gradient all-reduces from NamedSharding constraints —
+there is no hand-written collective layer to port.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    devices: list | None = None,
+    model_parallel_size: int = 1,
+    data_axis: str = DATA_AXIS,
+    model_axis: str = MODEL_AXIS,
+) -> Mesh:
+    """Build a (data, model) mesh over all (or given) devices.
+
+    With ``model_parallel_size == 1`` this degenerates to pure DP — the
+    reference's configuration (SURVEY.md §2c). Device order follows
+    `jax.devices()` so the data axis rides ICI within a slice.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel_size != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel_size={model_parallel_size}"
+        )
+    grid = np.asarray(devices).reshape(n // model_parallel_size, model_parallel_size)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over `data`, replicate the rest."""
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch pytree with the batch dim sharded over `data`."""
+
+    def _put(x):
+        arr = np.asarray(x)
+        return jax.device_put(arr, data_sharding(mesh, arr.ndim))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Replicate a param pytree across the mesh (DP). A future `model` axis
+    rule set can partition large tensors here instead."""
+    return jax.device_put(params, replicated(mesh))
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n_data = mesh.shape[mesh.axis_names[0]]
+    if global_batch % n_data != 0:
+        raise ValueError(f"global batch {global_batch} % data axis {n_data} != 0")
+    return global_batch // n_data
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host runtime init (`jax.distributed`), the analog of the
+    reference's `init_process_group(nccl, env://)`. No-op on single host."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+@contextlib.contextmanager
+def maybe_mesh(mesh: Mesh | None):
+    if mesh is None:
+        yield
+    else:
+        with mesh:
+            yield

@@ -1,0 +1,159 @@
+"""Convolution ops with PyTorch-exact semantics in TPU-native layouts.
+
+The reference's hot loops bottom out in cuDNN Conv1d / ConvTranspose1d /
+Conv2d (`/root/reference/utils/vocoder/models.py:17-28,75-91,177-182`,
+`modules/fft.py:62-82`, `modules/duration.py:51-78`). Here every conv runs in
+channels-last (NWC / NHWC) layout — channels on the TPU lane dimension — via
+`lax.conv_general_dilated`, which XLA tiles onto the MXU directly.
+
+Kernel storage layout is (K, Cin/groups, Cout) ("WIO"); `from_torch_*`
+helpers convert PyTorch state-dict layouts. Output-size semantics (padding,
+dilation, transposed-conv `(k-u)//2` padding) match torch exactly — an
+off-by-one here destroys mel-allclose parity (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """torch.nn.functional.conv1d on (B, T, Cin) with w (K, Cin/groups, Cout)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=((padding, padding),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        precision=precision,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    precision=None,
+) -> jnp.ndarray:
+    """torch.nn.ConvTranspose1d on (B, T, Cin), w (K, Cin, Cout).
+
+    Torch semantics: out_len = (T-1)*stride - 2*padding + K. Implemented as a
+    fractionally-strided conv: insert (stride-1) zeros between inputs
+    (lhs_dilation), pad (K-1-padding) on both sides, convolve with the
+    spatially-flipped kernel. This matches the vocoder's 5-stage x320
+    upsample (reference utils/vocoder/models.py:85-91) bit-for-bit.
+    """
+    k = w.shape[0]
+    w_flip = jnp.flip(w, axis=0)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w_flip,
+        window_strides=(1,),
+        padding=((k - 1 - padding, k - 1 - padding),),
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        precision=precision,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: tuple[int, int] = (1, 1),
+    padding: tuple[int, int] = (0, 0),
+    precision=None,
+) -> jnp.ndarray:
+    """torch.nn.functional.conv2d on (B, H, W, Cin) with w (Kh, Kw, Cin, Cout).
+    Used by the period discriminators (reference models.py:177-182)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=((padding[0], padding[0]), (padding[1], padding[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        precision=precision,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def avg_pool1d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """torch.nn.AvgPool1d(count_include_pad=True) on (B, T, C)
+    (reference MSD mean-pool pyramid, models.py:258)."""
+    s = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, kernel, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+    return s / kernel
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    """'same'-style padding helper (reference utils/vocoder/utils.py:44-45)."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+def conv1d_out_len(t: int, k: int, stride: int = 1, padding: int = 0,
+                   dilation: int = 1) -> int:
+    return (t + 2 * padding - dilation * (k - 1) - 1) // stride + 1
+
+
+def conv_transpose1d_out_len(t: int, k: int, stride: int, padding: int) -> int:
+    return (t - 1) * stride - 2 * padding + k
+
+
+# ---------------------------------------------------------------------------
+# PyTorch layout conversion
+# ---------------------------------------------------------------------------
+
+
+def from_torch_conv1d(w: np.ndarray) -> np.ndarray:
+    """torch (Cout, Cin/groups, K) -> native (K, Cin/groups, Cout)."""
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
+def from_torch_conv_transpose1d(w: np.ndarray) -> np.ndarray:
+    """torch (Cin, Cout, K) -> native (K, Cin, Cout)."""
+    return np.transpose(np.asarray(w), (2, 0, 1))
+
+
+def from_torch_conv2d(w: np.ndarray) -> np.ndarray:
+    """torch (Cout, Cin, Kh, Kw) -> native (Kh, Kw, Cin, Cout)."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def from_torch_linear(w: np.ndarray) -> np.ndarray:
+    """torch (Out, In) -> native (In, Out)."""
+    return np.transpose(np.asarray(w), (1, 0))
