@@ -1,0 +1,152 @@
+"""Conv op parity vs torch.nn.functional — the exact primitives the reference
+delegates to cuDNN (SURVEY.md §2b)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from parrot_tts_tpu.ops import conv as convlib
+from parrot_tts_tpu.ops import weight_norm as wnlib
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize("k,stride,pad,dil,groups", [
+    (9, 1, 4, 1, 1),     # TTE FFN conv1 (modules/fft.py:65-70)
+    (1, 1, 0, 1, 1),     # TTE FFN conv2
+    (3, 1, 2, 3, 1),     # MRF dilated conv (models.py:17-22)
+    (41, 2, 20, 1, 4),   # MSD grouped conv (models.py:232)
+    (5, 1, 2, 1, 1),     # aligner conv
+])
+def test_conv1d_matches_torch(rng, k, stride, pad, dil, groups):
+    b, t, ci, co = 2, 64, 8, 12
+    x = rng.standard_normal((b, t, ci)).astype(np.float32)
+    w_t = rng.standard_normal((co, ci // groups, k)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((co,)).astype(np.float32)
+
+    ours = convlib.conv1d(
+        jnp.asarray(x), jnp.asarray(convlib.from_torch_conv1d(w_t)),
+        jnp.asarray(bias), stride=stride, padding=pad, dilation=dil,
+        groups=groups)
+    theirs = F.conv1d(torch.from_numpy(x).transpose(1, 2),
+                      torch.from_numpy(w_t), torch.from_numpy(bias),
+                      stride=stride, padding=pad, dilation=dil, groups=groups)
+    np.testing.assert_allclose(_np(ours), theirs.transpose(1, 2).numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,u", [(11, 5), (8, 4), (4, 2), (16, 8)])
+def test_conv_transpose1d_matches_torch(rng, k, u):
+    # the vocoder upsample stages use padding=(k-u)//2 (models.py:85-91)
+    b, t, ci, co = 2, 20, 6, 4
+    pad = (k - u) // 2
+    x = rng.standard_normal((b, t, ci)).astype(np.float32)
+    w_t = rng.standard_normal((ci, co, k)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((co,)).astype(np.float32)
+
+    ours = convlib.conv_transpose1d(
+        jnp.asarray(x), jnp.asarray(convlib.from_torch_conv_transpose1d(w_t)),
+        jnp.asarray(bias), stride=u, padding=pad)
+    theirs = F.conv_transpose1d(torch.from_numpy(x).transpose(1, 2),
+                                torch.from_numpy(w_t), torch.from_numpy(bias),
+                                stride=u, padding=pad)
+    assert ours.shape[1] == t * u  # exact 320x chain requirement
+    np.testing.assert_allclose(_np(ours), theirs.transpose(1, 2).numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv2d_matches_torch(rng):
+    # MPD topology: (5,1) kernel, (3,1) stride (models.py:177-182)
+    b, h, w_, ci, co = 2, 30, 7, 1, 8
+    x = rng.standard_normal((b, h, w_, ci)).astype(np.float32)
+    w_t = rng.standard_normal((co, ci, 5, 1)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((co,)).astype(np.float32)
+
+    ours = convlib.conv2d(jnp.asarray(x),
+                          jnp.asarray(convlib.from_torch_conv2d(w_t)),
+                          jnp.asarray(bias), stride=(3, 1), padding=(2, 0))
+    theirs = F.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2),
+                      torch.from_numpy(w_t), torch.from_numpy(bias),
+                      stride=(3, 1), padding=(2, 0))
+    np.testing.assert_allclose(_np(ours),
+                               theirs.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_avg_pool1d_matches_torch(rng):
+    # MSD pyramid AvgPool1d(4, 2, padding=2) (models.py:258)
+    x = rng.standard_normal((2, 50, 3)).astype(np.float32)
+    ours = convlib.avg_pool1d(jnp.asarray(x), 4, 2, 2)
+    theirs = F.avg_pool1d(torch.from_numpy(x).transpose(1, 2), 4, 2, 2)
+    np.testing.assert_allclose(_np(ours), theirs.transpose(1, 2).numpy(),
+                               atol=1e-5)
+
+
+def test_weight_norm_matches_torch(rng):
+    w_t = torch.from_numpy(rng.standard_normal((8, 4, 5)).astype(np.float32))
+    conv = torch.nn.Conv1d(4, 8, 5, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(w_t)
+    conv = torch.nn.utils.weight_norm(conv)
+    # perturb g to make the test nontrivial
+    with torch.no_grad():
+        conv.weight_g.mul_(1.7)
+    # conv.weight is refreshed by the pre-forward hook; trigger it
+    conv(torch.zeros(1, 4, 10))
+    w_resolved_torch = torch._weight_norm(
+        conv.weight_v, conv.weight_g, 0).detach().numpy()  # (Cout, Cin, K)
+
+    v_nat = jnp.asarray(convlib.from_torch_conv1d(conv.weight_v.detach().numpy()))
+    g_nat = jnp.asarray(conv.weight_g.detach().numpy().reshape(1, 1, -1))
+    ours = wnlib.wn_resolve({"g": g_nat, "v": v_nat}, wnlib.WN_AXES_CONV1D)
+    np.testing.assert_allclose(_np(ours),
+                               convlib.from_torch_conv1d(w_resolved_torch),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_weight_norm_transposed_axes(rng):
+    # ConvTranspose1d weight (Cin, Cout, K): torch norms over dim0=Cin slices
+    conv = torch.nn.ConvTranspose1d(6, 4, 8, stride=4, bias=False)
+    conv = torch.nn.utils.weight_norm(conv)
+    with torch.no_grad():
+        conv.weight_g.mul_(0.3)
+    w_resolved = torch._weight_norm(
+        conv.weight_v, conv.weight_g, 0).detach().numpy()  # (Cin, Cout, K)
+
+    v_nat = jnp.asarray(
+        convlib.from_torch_conv_transpose1d(conv.weight_v.detach().numpy()))
+    g_nat = jnp.asarray(conv.weight_g.detach().numpy().reshape(1, -1, 1))
+    ours = wnlib.wn_resolve({"g": g_nat, "v": v_nat}, wnlib.WN_AXES_CONV_T1D)
+    np.testing.assert_allclose(
+        _np(ours), convlib.from_torch_conv_transpose1d(w_resolved),
+        atol=1e-5, rtol=1e-5)
+
+
+def test_wn_init_roundtrip(rng):
+    w = jnp.asarray(rng.standard_normal((5, 4, 8)).astype(np.float32))
+    p = wnlib.wn_init(w, wnlib.WN_AXES_CONV1D)
+    np.testing.assert_allclose(_np(wnlib.wn_resolve(p, wnlib.WN_AXES_CONV1D)),
+                               _np(w), atol=1e-6)
+
+
+def test_spectral_norm_matches_torch(rng):
+    import jax
+    conv = torch.nn.Conv1d(4, 8, 15, bias=False)
+    w0 = conv.weight.detach().numpy().copy()
+    conv_sn = torch.nn.utils.spectral_norm(conv)
+    u0 = conv_sn.weight_u.detach().numpy().copy()
+
+    p = {"w": jnp.asarray(convlib.from_torch_conv1d(w0)), "u": jnp.asarray(u0)}
+    ours, new_u = wnlib.sn_resolve(p, n_power_iterations=1, update=True)
+
+    x = torch.zeros(1, 4, 20)
+    conv_sn.train()
+    conv_sn(x)  # triggers one power iteration + weight update
+    theirs = conv_sn.weight.detach().numpy()
+    np.testing.assert_allclose(_np(ours), convlib.from_torch_conv1d(theirs),
+                               atol=1e-4, rtol=1e-3)
