@@ -1,0 +1,197 @@
+"""HiFi-GAN discriminators: multi-period (MPD) + multi-scale (MSD).
+
+Reference: `/root/reference/utils/vocoder/models.py:171-276`. MPD: 5 period
+discriminators (2,3,5,7,11) that fold the waveform into (T/p, p) and run 2D
+convs with stride (3,1). MSD: 3 scale discriminators over a x1/x2/x4
+avg-pooled pyramid, grouped 1D convs; the first scale uses spectral norm
+whose power-iteration vectors are explicit state threaded through apply.
+
+Layouts: waveforms (B, T, 1); MPD folds to NHWC (B, T/p, p, 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tts_tpu.ops import conv as conv_ops
+from parrot_tts_tpu.ops import init as init_ops
+from parrot_tts_tpu.ops.weight_norm import (
+    WN_AXES_CONV1D,
+    WN_AXES_CONV2D,
+    sn_init,
+    sn_resolve,
+    wn_init,
+    wn_resolve,
+)
+
+LRELU_SLOPE = 0.1
+
+MPD_PERIODS = (2, 3, 5, 7, 11)
+# (cin, cout) per conv layer (reference models.py:175-181)
+_MPD_CHANNELS = ((1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024))
+# (cin, cout, kernel, stride, groups, padding) (reference models.py:231-236)
+_MSD_LAYERS = (
+    (1, 128, 15, 1, 1, 7),
+    (128, 128, 41, 2, 4, 20),
+    (128, 256, 41, 2, 16, 20),
+    (256, 512, 41, 4, 16, 20),
+    (512, 1024, 41, 4, 16, 20),
+    (1024, 1024, 41, 1, 16, 20),
+    (1024, 1024, 5, 1, 1, 2),
+)
+
+
+def _norm_conv_init(key, shape, fan_in, spectral: bool):
+    kw, kb, ku = jax.random.split(key, 3)
+    w = init_ops.kaiming_uniform(kw, shape, fan_in)
+    b = init_ops.uniform_fan_in(kb, (shape[-1],), fan_in)
+    if spectral:
+        return {**sn_init(w, ku), "b": b}
+    return {**wn_init(w, WN_AXES_CONV2D if len(shape) == 4 else WN_AXES_CONV1D),
+            "b": b}
+
+
+def _resolve(p, axes, update: bool):
+    """Returns (kernel, new_param_dict)."""
+    if "u" in p:
+        return sn_resolve(p, update=update)
+    if "v" in p:
+        return wn_resolve(p, axes), p
+    return p["w"], p
+
+
+# ---------------------------------------------------------------------------
+# DiscriminatorP (reference models.py:171-203)
+# ---------------------------------------------------------------------------
+
+
+def init_discriminator_p(key, kernel_size: int = 5) -> dict:
+    keys = jax.random.split(key, len(_MPD_CHANNELS) + 1)
+    convs = [
+        _norm_conv_init(keys[i], (kernel_size, 1, ci, co), ci * kernel_size,
+                        spectral=False)
+        for i, (ci, co) in enumerate(_MPD_CHANNELS)
+    ]
+    conv_post = _norm_conv_init(keys[-1], (3, 1, 1024, 1), 1024 * 3,
+                                spectral=False)
+    return {"convs": convs, "conv_post": conv_post}
+
+
+def apply_discriminator_p(p: dict, x: jnp.ndarray, period: int,
+                          precision=None):
+    """x: (B, T, 1). Returns (score (B, n), fmaps list)."""
+    b, t, c = x.shape
+    if t % period:
+        n_pad = period - (t % period)
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+        t = t + n_pad
+    x = x.reshape(b, t // period, period, c)        # NHWC
+
+    fmap = []
+    strides = [(3, 1)] * 4 + [(1, 1)]
+    for conv, stride in zip(p["convs"], strides):
+        w = wn_resolve(conv, WN_AXES_CONV2D) if "v" in conv else conv["w"]
+        x = conv_ops.conv2d(x, w, conv["b"], stride=stride,
+                            padding=(2, 0), precision=precision)
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+    cp = p["conv_post"]
+    w = wn_resolve(cp, WN_AXES_CONV2D) if "v" in cp else cp["w"]
+    x = conv_ops.conv2d(x, w, cp["b"], stride=(1, 1), padding=(1, 0),
+                        precision=precision)
+    fmap.append(x)
+    return x.reshape(b, -1), fmap
+
+
+def init_mpd(key) -> dict:
+    keys = jax.random.split(key, len(MPD_PERIODS))
+    return {"discriminators": [init_discriminator_p(k) for k in keys]}
+
+
+def apply_mpd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray,
+              precision=None):
+    """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs) like the reference
+    MultiPeriodDiscriminator (models.py:206-225)."""
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    for p, period in zip(params["discriminators"], MPD_PERIODS):
+        s_r, f_r = apply_discriminator_p(p, y, period, precision)
+        s_g, f_g = apply_discriminator_p(p, y_hat, period, precision)
+        y_d_rs.append(s_r)
+        y_d_gs.append(s_g)
+        fmap_rs.append(f_r)
+        fmap_gs.append(f_g)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+# ---------------------------------------------------------------------------
+# DiscriminatorS (reference models.py:228-276)
+# ---------------------------------------------------------------------------
+
+
+def init_discriminator_s(key, use_spectral_norm: bool = False) -> dict:
+    keys = jax.random.split(key, len(_MSD_LAYERS) + 1)
+    convs = [
+        _norm_conv_init(keys[i], (k, ci // g, co), (ci // g) * k,
+                        spectral=use_spectral_norm)
+        for i, (ci, co, k, s, g, pad) in enumerate(_MSD_LAYERS)
+    ]
+    conv_post = _norm_conv_init(keys[-1], (3, 1024, 1), 1024 * 3,
+                                spectral=use_spectral_norm)
+    return {"convs": convs, "conv_post": conv_post}
+
+
+def apply_discriminator_s(p: dict, x: jnp.ndarray, *, update_sn: bool,
+                          precision=None):
+    """x: (B, T, 1). Returns (score, fmaps, new_params)."""
+    fmap = []
+    new_convs = []
+    for conv, (ci, co, k, s, g, pad) in zip(p["convs"], _MSD_LAYERS):
+        w, new_conv = _resolve(conv, WN_AXES_CONV1D, update_sn)
+        new_convs.append(new_conv)
+        x = conv_ops.conv1d(x, w, conv["b"], stride=s, padding=pad, groups=g,
+                            precision=precision)
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+    w, new_post = _resolve(p["conv_post"], WN_AXES_CONV1D, update_sn)
+    x = conv_ops.conv1d(x, w, p["conv_post"]["b"], padding=1,
+                        precision=precision)
+    fmap.append(x)
+    new_p = {"convs": new_convs, "conv_post": new_post}
+    return x.reshape(x.shape[0], -1), fmap, new_p
+
+
+def init_msd(key) -> dict:
+    k0, k1, k2 = jax.random.split(key, 3)
+    return {"discriminators": [
+        init_discriminator_s(k0, use_spectral_norm=True),
+        init_discriminator_s(k1),
+        init_discriminator_s(k2),
+    ]}
+
+
+def apply_msd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray, *,
+              update_sn: bool = False, precision=None):
+    """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs, new_params). The x2/x4
+    scales see AvgPool1d(4, 2, padding=2) pyramids (reference models.py:258).
+
+    Note: torch runs one power iteration per inner-discriminator forward;
+    the reference's MSD forward calls d(y) then d(y_hat) (models.py:264-266),
+    i.e. u advances twice per MSD call in train mode — matched here.
+    """
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    new_discs = []
+    for i, p in enumerate(params["discriminators"]):
+        if i != 0:
+            y = conv_ops.avg_pool1d(y, 4, 2, 2)
+            y_hat = conv_ops.avg_pool1d(y_hat, 4, 2, 2)
+        s_r, f_r, new_p = apply_discriminator_s(
+            p, y, update_sn=update_sn, precision=precision)
+        s_g, f_g, new_p = apply_discriminator_s(
+            new_p, y_hat, update_sn=update_sn, precision=precision)
+        new_discs.append(new_p)
+        y_d_rs.append(s_r)
+        y_d_gs.append(s_g)
+        fmap_rs.append(f_r)
+        fmap_gs.append(f_g)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs, {"discriminators": new_discs}

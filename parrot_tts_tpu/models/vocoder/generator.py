@@ -1,0 +1,218 @@
+"""Unit-conditioned HiFi-GAN generator (V1 topology), TPU-native.
+
+Reference: `/root/reference/utils/vocoder/models.py:69-169` (Generator /
+CodeGenerator, adapted from jik876/hifi-gan). conv_pre -> 5x [leakyReLU ->
+ConvTranspose1d upsample (5,4,4,2,2) -> MRF (3 ResBlocks k=3,7,11, dilations
+(1,3,5), averaged)] -> leakyReLU -> conv_post -> tanh; weight norm on every
+conv. CodeGenerator embeds HuBERT codes (1000x128) + speaker ids (10x128),
+nearest-repeat-upsamples the speaker signal over frames and concats to a
+256-channel input (models.py:122-169).
+
+All activations are channels-last (B, T, C) so channels ride the TPU lane
+dim; every conv lowers to an MXU matmul. Weight norm lives in the param tree
+as {g, v}; `fold_params` collapses it for inference (= remove_weight_norm,
+reference models.py:113-119).
+
+Init note: the reference applies `init_weights` N(0, 0.01) AFTER weight_norm
+(models.py:93-94,109-110), which torch silently discards on the first forward
+(weight is recomputed from g,v) — the effective init is torch's default
+kaiming. We init kaiming accordingly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tts_tpu.core.config import VocoderModelConfig
+from parrot_tts_tpu.ops import conv as conv_ops
+from parrot_tts_tpu.ops import init as init_ops
+from parrot_tts_tpu.ops.weight_norm import (
+    WN_AXES_CONV1D,
+    WN_AXES_CONV_T1D,
+    wn_init,
+    wn_resolve,
+)
+
+LRELU_SLOPE = 0.1  # reference models.py:11
+
+
+def _wn_conv1d_init(key, k, cin, cout):
+    kw, kb = jax.random.split(key)
+    w = init_ops.kaiming_uniform(kw, (k, cin, cout), cin * k)
+    return {**wn_init(w, WN_AXES_CONV1D),
+            "b": init_ops.uniform_fan_in(kb, (cout,), cin * k)}
+
+
+def _wn_convt1d_init(key, k, cin, cout):
+    kw, kb = jax.random.split(key)
+    w = init_ops.kaiming_uniform(kw, (k, cin, cout), cin * k)
+    # torch ConvTranspose1d bias fan_in is also cin*k
+    return {**wn_init(w, WN_AXES_CONV_T1D),
+            "b": init_ops.uniform_fan_in(kb, (cout,), cin * k)}
+
+
+def _kernel(p: dict, axes) -> jnp.ndarray:
+    return wn_resolve(p, axes) if "v" in p else p["w"]
+
+
+def init_resblock1(key, channels: int, kernel_size: int,
+                   dilations: tuple[int, ...]) -> dict:
+    keys = jax.random.split(key, 2 * len(dilations))
+    return {
+        "convs1": [_wn_conv1d_init(keys[i], kernel_size, channels, channels)
+                   for i in range(len(dilations))],
+        "convs2": [_wn_conv1d_init(keys[len(dilations) + i], kernel_size,
+                                   channels, channels)
+                   for i in range(len(dilations))],
+    }
+
+
+def apply_resblock1(p: dict, x: jnp.ndarray, kernel_size: int,
+                    dilations: tuple[int, ...], precision=None) -> jnp.ndarray:
+    """ResBlock1 (reference models.py:13-44): pairs of (dilated, plain) convs
+    with leaky relus and residual adds."""
+    for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = conv_ops.conv1d(xt, _kernel(c1, WN_AXES_CONV1D), c1["b"],
+                             padding=conv_ops.get_padding(kernel_size, d),
+                             dilation=d, precision=precision)
+        xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+        xt = conv_ops.conv1d(xt, _kernel(c2, WN_AXES_CONV1D), c2["b"],
+                             padding=conv_ops.get_padding(kernel_size, 1),
+                             precision=precision)
+        x = xt + x
+    return x
+
+
+def init_resblock2(key, channels: int, kernel_size: int,
+                   dilations: tuple[int, ...]) -> dict:
+    keys = jax.random.split(key, len(dilations))
+    return {
+        "convs": [_wn_conv1d_init(keys[i], kernel_size, channels, channels)
+                  for i in range(len(dilations))],
+    }
+
+
+def apply_resblock2(p: dict, x: jnp.ndarray, kernel_size: int,
+                    dilations: tuple[int, ...], precision=None) -> jnp.ndarray:
+    """ResBlock2 (reference models.py:47-66)."""
+    for c, d in zip(p["convs"], dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = conv_ops.conv1d(xt, _kernel(c, WN_AXES_CONV1D), c["b"],
+                             padding=conv_ops.get_padding(kernel_size, d),
+                             dilation=d, precision=precision)
+        x = xt + x
+    return x
+
+
+def init_generator(key, cfg: VocoderModelConfig) -> dict:
+    n_ups = len(cfg.upsample_rates)
+    keys = jax.random.split(key, 4 + n_ups + n_ups * len(cfg.resblock_kernel_sizes))
+    ki = iter(keys)
+
+    params: dict = {
+        "conv_pre": _wn_conv1d_init(next(ki), 7, cfg.model_in_dim,
+                                    cfg.upsample_initial_channel),
+        "ups": [],
+        "resblocks": [],
+    }
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin = cfg.upsample_initial_channel // (2 ** i)
+        cout = cfg.upsample_initial_channel // (2 ** (i + 1))
+        params["ups"].append(_wn_convt1d_init(next(ki), k, cin, cout))
+        ch = cout
+        for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            if cfg.resblock == "1":
+                params["resblocks"].append(init_resblock1(next(ki), ch, rk, rd))
+            else:
+                params["resblocks"].append(init_resblock2(next(ki), ch, rk, rd))
+    params["conv_post"] = _wn_conv1d_init(next(ki), 7, ch, 1)
+    return params
+
+
+def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
+                    precision=None) -> jnp.ndarray:
+    """Generator forward (reference models.py:96-111). x: (B, T, model_in_dim)
+    -> waveform (B, T*320, 1)."""
+    nk = len(cfg.resblock_kernel_sizes)
+    apply_rb = apply_resblock1 if cfg.resblock == "1" else apply_resblock2
+
+    x = conv_ops.conv1d(x, _kernel(params["conv_pre"], WN_AXES_CONV1D),
+                        params["conv_pre"]["b"], padding=3, precision=precision)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        up = params["ups"][i]
+        x = conv_ops.conv_transpose1d(
+            x, _kernel(up, WN_AXES_CONV_T1D), up["b"],
+            stride=u, padding=(k - u) // 2, precision=precision)
+        acc = None
+        for j in range(nk):
+            rb = params["resblocks"][i * nk + j]
+            y = apply_rb(rb, x, cfg.resblock_kernel_sizes[j],
+                         cfg.resblock_dilation_sizes[j], precision=precision)
+            acc = y if acc is None else acc + y
+        x = acc / nk
+    # final leaky uses torch's DEFAULT slope 0.01 (reference models.py:107)
+    x = jax.nn.leaky_relu(x, 0.01)
+    x = conv_ops.conv1d(x, _kernel(params["conv_post"], WN_AXES_CONV1D),
+                        params["conv_post"]["b"], padding=3, precision=precision)
+    return jnp.tanh(x)
+
+
+# ---------------------------------------------------------------------------
+# CodeGenerator: unit + speaker conditioning (reference models.py:122-169)
+# ---------------------------------------------------------------------------
+
+
+def init_code_generator(key, cfg: VocoderModelConfig) -> dict:
+    kg, kd, ks = jax.random.split(key, 3)
+    params = init_generator(kg, cfg)
+    params["dict"] = init_ops.embedding(
+        kd, (cfg.num_embeddings, cfg.embedding_dim))
+    if cfg.multispkr:
+        params["spkr"] = init_ops.embedding(
+            ks, (cfg.num_speakers, cfg.embedding_dim))
+    return params
+
+
+def apply_code_generator(params: dict, code: jnp.ndarray,
+                         spkr: jnp.ndarray | None, cfg: VocoderModelConfig,
+                         precision=None) -> jnp.ndarray:
+    """code: (B, T) int unit ids; spkr: (B,) or (B,1) int speaker ids.
+    Returns (B, T*320, 1) waveform in [-1, 1].
+
+    The reference nearest-repeat-upsamples the (B, 1) speaker embedding over
+    T frames and concats channels (models.py:132-168)."""
+    x = jnp.take(params["dict"], code, axis=0)              # (B, T, E)
+    if cfg.multispkr:
+        if spkr is None:
+            raise ValueError("multispeaker model needs spkr ids")
+        spkr = spkr.reshape(spkr.shape[0])
+        s = jnp.take(params["spkr"], spkr, axis=0)          # (B, E)
+        s = jnp.broadcast_to(s[:, None, :], x.shape)
+        x = jnp.concatenate([x, s], axis=-1)                # (B, T, 2E)
+    return apply_generator(params, x, cfg, precision=precision)
+
+
+def fold_params(params: dict) -> dict:
+    """Collapse every {g, v} into a plain kernel {"w"} for inference —
+    the functional remove_weight_norm (reference models.py:113-119,
+    utils/vocoder/inference.py:137)."""
+
+    def fold(p, axes):
+        out = {"w": wn_resolve(p, axes), "b": p["b"]}
+        return out
+
+    folded = dict(params)
+    folded["conv_pre"] = fold(params["conv_pre"], WN_AXES_CONV1D)
+    folded["conv_post"] = fold(params["conv_post"], WN_AXES_CONV1D)
+    folded["ups"] = [fold(p, WN_AXES_CONV_T1D) for p in params["ups"]]
+    folded["resblocks"] = []
+    for rb in params["resblocks"]:
+        frb = {}
+        for name in ("convs1", "convs2", "convs"):
+            if name in rb:
+                frb[name] = [fold(c, WN_AXES_CONV1D) for c in rb[name]]
+        folded["resblocks"].append(frb)
+    return folded

@@ -56,30 +56,38 @@ def is_weight_normed(p: Any) -> bool:
 
 
 def sn_init(w: jnp.ndarray, key) -> dict:
-    """Spectral-norm param: {"w": kernel, "u": left singular vector estimate}.
+    """Spectral-norm param: {"w": kernel, "u", "v": singular vector estimates}.
 
     torch reshapes the kernel to (dim0, -1) of the TORCH layout before the
-    power iteration; we store `u` over the torch dim0. For our native conv1d
-    layout (K, I, O) torch dim0 = O.
+    power iteration and stores BOTH u and v as buffers; at eval it computes
+    sigma = u^T W v from the stored pair without any recompute. For our
+    native conv1d layout (K, I, O) torch dim0 = O.
     """
-    o = w.shape[-1]
-    u = jax.random.normal(key, (o,), w.dtype)
+    ku, kv = jax.random.split(key)
+    mat = _to_mat(w)
+    u = jax.random.normal(ku, (mat.shape[0],), w.dtype)
     u = u / (jnp.linalg.norm(u) + 1e-12)
-    return {"w": w, "u": u}
+    v = jax.random.normal(kv, (mat.shape[1],), w.dtype)
+    v = v / (jnp.linalg.norm(v) + 1e-12)
+    return {"w": w, "u": u, "sn_v": v}
 
 
 def _to_mat(w: jnp.ndarray) -> jnp.ndarray:
-    """Native conv layout (..., O) -> torch-style (O, -1) matrix."""
-    o = w.shape[-1]
-    return jnp.moveaxis(w, -1, 0).reshape(o, -1)
+    """Native conv layout (..., O) -> torch-style (O, -1) matrix.
+
+    torch's (O, I, K) flattens as I-major then K; our (K, I, O) must be
+    permuted to (O, I, K) before reshape to match element order."""
+    perm = (w.ndim - 1,) + tuple(range(1, w.ndim - 1)) + (0,)
+    return jnp.transpose(w, perm).reshape(w.shape[-1], -1)
 
 
 def sn_resolve(p: dict, n_power_iterations: int = 1, update: bool = True,
-               eps: float = 1e-12) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (w / sigma, new_u). With update=False (eval) u is left as-is
-    but sigma is still computed from the current u, matching torch eval."""
+               eps: float = 1e-12) -> tuple[jnp.ndarray, dict]:
+    """Return (w / sigma, new_state). With update=True run torch's power
+    iteration (v = normalize(W^T u); u = normalize(W v)); with update=False
+    (eval) use the stored u, v unchanged — exact torch semantics."""
     w = p["w"]
-    u = p["u"]
+    u, v = p["u"], p["sn_v"]
     mat = _to_mat(w)
     if update:
         for _ in range(n_power_iterations):
@@ -89,9 +97,5 @@ def sn_resolve(p: dict, n_power_iterations: int = 1, update: bool = True,
             u = u / (jnp.linalg.norm(u) + eps)
         u = jax.lax.stop_gradient(u)
         v = jax.lax.stop_gradient(v)
-    else:
-        v = mat.T @ u
-        v = v / (jnp.linalg.norm(v) + eps)
-        v = jax.lax.stop_gradient(v)
     sigma = jnp.dot(u, mat @ v)
-    return w / sigma, u
+    return w / sigma, {**p, "u": u, "sn_v": v}

@@ -1,0 +1,87 @@
+"""TTE data-parallel training engine: one compiled pjit step.
+
+Replaces the reference's Lightning DDP stack (`/root/reference/train.py:
+55-180`): AdamW + cosine-warmup schedule stepped per optimizer step, grad
+accumulation 4, global-norm clip 1.0, periodic validation. All of it is one
+jitted function over a (data, model) mesh; gradient all-reduce is emitted by
+XLA from the replicated-params/sharded-batch shardings — the TPU analog of
+DDP's NCCL all-reduce (SURVEY.md §2d).
+
+Note: the reference's configure_optimizers IGNORES its own `betas` config
+(train.py:98-109 passes only lr/weight_decay) — torch AdamW defaults
+(0.9, 0.999) apply, and we match that.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from parrot_tts_tpu.core.config import TTEModelConfig, TTETrainConfig
+from parrot_tts_tpu.models.tte import parrot
+from parrot_tts_tpu.models.tte.loss import tte_loss
+from parrot_tts_tpu.train.schedules import cosine_warmup_schedule
+
+
+class TTETrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # optimizer steps (post-accumulation)
+
+
+def make_optimizer(cfg: TTETrainConfig) -> optax.GradientTransformation:
+    schedule = cosine_warmup_schedule(
+        cfg.init_lr, cfg.warmup_steps, cfg.total_steps)
+    opt = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=cfg.weight_decay),
+    )
+    if cfg.grad_acc_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_acc_steps)
+    return opt
+
+
+def init_state(key, model_cfg: TTEModelConfig,
+               train_cfg: TTETrainConfig) -> TTETrainState:
+    params = parrot.init_parrot(key, model_cfg)
+    opt = make_optimizer(train_cfg)
+    return TTETrainState(params=params, opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+
+
+def loss_fn(params, batch, model_cfg: TTEModelConfig, out_len: int,
+            dropout_rng, deterministic: bool):
+    logits, _, log_dur = parrot.apply_parrot(
+        params, batch, model_cfg, out_len=out_len, inference=False,
+        dropout_rng=dropout_rng, deterministic=deterministic)
+    total, code, dur = tte_loss(
+        logits, log_dur, batch["codes"], batch["duration"],
+        batch["src_mask"], num_codes=model_cfg.hubert_codes)
+    return total, {"total_loss": total, "code_loss": code, "dur_loss": dur}
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "train_cfg", "out_len"),
+         donate_argnums=(0,))
+def train_step(state: TTETrainState, batch: dict, rng: jax.Array,
+               model_cfg: TTEModelConfig, train_cfg: TTETrainConfig,
+               out_len: int):
+    """One micro-batch step (optimizer applies every grad_acc_steps calls via
+    optax.MultiSteps, mirroring Lightning accumulate_grad_batches)."""
+    dropout_rng = jax.random.fold_in(rng, state.step)
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(
+        state.params, batch, model_cfg, out_len, dropout_rng, False)
+    opt = make_optimizer(train_cfg)
+    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TTETrainState(new_params, new_opt_state, state.step + 1), metrics
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "out_len"))
+def eval_step(params, batch: dict, model_cfg: TTEModelConfig, out_len: int):
+    _, metrics = loss_fn(params, batch, model_cfg, out_len, None, True)
+    return metrics

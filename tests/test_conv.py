@@ -140,9 +140,11 @@ def test_spectral_norm_matches_torch(rng):
     w0 = conv.weight.detach().numpy().copy()
     conv_sn = torch.nn.utils.spectral_norm(conv)
     u0 = conv_sn.weight_u.detach().numpy().copy()
+    v0 = conv_sn.weight_v.detach().numpy().copy()
 
-    p = {"w": jnp.asarray(convlib.from_torch_conv1d(w0)), "u": jnp.asarray(u0)}
-    ours, new_u = wnlib.sn_resolve(p, n_power_iterations=1, update=True)
+    p = {"w": jnp.asarray(convlib.from_torch_conv1d(w0)),
+         "u": jnp.asarray(u0), "sn_v": jnp.asarray(v0)}
+    ours, _ = wnlib.sn_resolve(p, n_power_iterations=1, update=True)
 
     x = torch.zeros(1, 4, 20)
     conv_sn.train()
