@@ -109,7 +109,9 @@ def train_step(state: VocoderTrainState, batch: dict,
         (state.mpd_params, msd_after_d), d_updates)
 
     # ---------------- generator step (reference train.py:153-168)
-    mel_real = batch["mel"]
+    # GT loss mel computed on device (the reference does this per-item on the
+    # CPU dataloader with num_workers=0 — a known bottleneck, SURVEY.md §3.3)
+    mel_real = batch["mel"] if "mel" in batch else _mel(batch["audio"], mel_cfg)
 
     def g_loss_fn(g_params):
         y_hat = gen.apply_code_generator(

@@ -1,0 +1,165 @@
+"""Compiled train-step tests: TTE and vocoder GAN engines on tiny configs,
+single-device and over an 8-device CPU mesh (DP sharding)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tts_tpu.core import mesh as meshlib
+from parrot_tts_tpu.core.config import (
+    MelConfig,
+    TTEModelConfig,
+    TTETrainConfig,
+    TransformerStackConfig,
+    VocoderModelConfig,
+    VocoderTrainConfig,
+)
+from parrot_tts_tpu.train import tte as tte_train
+from parrot_tts_tpu.train import vocoder as voc_train
+
+
+def tiny_tte_cfg():
+    return TTEModelConfig(
+        d_model=16, conv_n_filter=32, conv_kernel_sizes=(9, 1), max_len=64,
+        encoder=TransformerStackConfig(n_layer=1, n_head=2, dropout_p=0.1),
+        decoder=TransformerStackConfig(n_layer=1, n_head=2, dropout_p=0.1),
+        dur_n_filter=8, dur_kernel_size=3, dur_dropout_p=0.5,
+        hubert_codes=20, n_speaker=2, vocab_size=10, pad_idx=0)
+
+
+def tiny_tte_batch(rng, b=4, s=8, t=24, cfg=None):
+    durs = rng.integers(1, 4, size=(b, s)).astype(np.int32)
+    totals = durs.sum(axis=1)
+    codes = np.full((b, t), cfg.hubert_codes, np.int32)
+    tgt_mask = np.zeros((b, t), bool)
+    for i in range(b):
+        n = min(int(totals[i]), t)
+        codes[i, :n] = rng.integers(0, cfg.hubert_codes, size=n)
+        tgt_mask[i, :n] = True
+    return {
+        "phones": rng.integers(2, cfg.vocab_size, size=(b, s)).astype(np.int32),
+        "duration": durs,
+        "codes": codes,
+        "src_mask": np.ones((b, s), bool),
+        "tgt_mask": tgt_mask,
+        "speaker": rng.integers(0, cfg.n_speaker, size=(b,)).astype(np.int32),
+    }
+
+
+def test_tte_train_step_loss_decreases(rng):
+    cfg = tiny_tte_cfg()
+    tcfg = TTETrainConfig(init_lr=1e-2, warmup_steps=2, total_steps=100,
+                          grad_acc_steps=1, grad_clip=1.0)
+    state = tte_train.init_state(jax.random.key(0), cfg, tcfg)
+    batch = {k: jnp.asarray(v) for k, v in tiny_tte_batch(rng, cfg=cfg).items()}
+    rng_key = jax.random.key(1)
+
+    losses = []
+    for _ in range(8):
+        state, metrics = tte_train.train_step(
+            state, batch, rng_key, cfg, tcfg, 24)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_tte_grad_accumulation_applies_every_k(rng):
+    cfg = tiny_tte_cfg()
+    tcfg = TTETrainConfig(init_lr=1e-2, warmup_steps=2, total_steps=100,
+                          grad_acc_steps=2, grad_clip=1.0)
+    state = tte_train.init_state(jax.random.key(0), cfg, tcfg)
+    batch = {k: jnp.asarray(v) for k, v in tiny_tte_batch(rng, cfg=cfg).items()}
+    p0 = np.asarray(state.params["head"]["w"]).copy()  # donated below
+    state, _ = tte_train.train_step(state, batch, jax.random.key(1), cfg, tcfg, 24)
+    # first micro-step accumulates, params unchanged
+    np.testing.assert_array_equal(np.asarray(state.params["head"]["w"]),
+                                  np.asarray(p0))
+    # note: the first APPLY uses lr=0 (cosine warmup at optimizer step 0,
+    # same as the reference's LambdaLR) — run through the second apply
+    for _ in range(3):
+        state, _ = tte_train.train_step(state, batch, jax.random.key(1),
+                                        cfg, tcfg, 24)
+    assert not np.allclose(np.asarray(state.params["head"]["w"]),
+                           np.asarray(p0))
+
+
+def tiny_voc_cfg():
+    return VocoderModelConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_embeddings=12,
+        embedding_dim=4, model_in_dim=8, multispkr="_", num_speakers=2)
+
+
+def tiny_voc_batch(rng, b=2, tc=64, hop=16):
+    return {
+        "audio": (rng.standard_normal((b, tc * hop)) * 0.2).astype(np.float32),
+        "code": rng.integers(0, 12, size=(b, tc)).astype(np.int32),
+        "spkr": rng.integers(0, 2, size=(b,)).astype(np.int32),
+    }
+
+
+def test_vocoder_gan_train_step(rng):
+    mcfg = tiny_voc_cfg()
+    tcfg = VocoderTrainConfig(learning_rate=1e-3)
+    mel_cfg = MelConfig(n_fft=64, num_mels=8, hop_size=16, win_size=64,
+                        sampling_rate=16000, fmax=None)
+    state = voc_train.init_state(jax.random.key(0), mcfg, tcfg,
+                                 steps_per_epoch=10)
+    batch = {k: jnp.asarray(v) for k, v in tiny_voc_batch(rng).items()}
+
+    g0 = np.asarray(state.gen_params["conv_pre"]["v"])
+    d0 = np.asarray(
+        state.mpd_params["discriminators"][0]["convs"][0]["v"])
+    u0 = np.asarray(
+        state.msd_params["discriminators"][0]["convs"][0]["u"])
+
+    for _ in range(2):
+        state, metrics = voc_train.train_step(
+            state, batch, mcfg, tcfg, mel_cfg, 10)
+
+    for v in metrics.values():
+        assert np.isfinite(float(v)), metrics
+    # all three networks actually updated
+    assert not np.allclose(np.asarray(state.gen_params["conv_pre"]["v"]), g0)
+    assert not np.allclose(np.asarray(
+        state.mpd_params["discriminators"][0]["convs"][0]["v"]), d0)
+    # spectral norm power iteration advanced
+    assert not np.allclose(np.asarray(
+        state.msd_params["discriminators"][0]["convs"][0]["u"]), u0)
+
+
+def test_tte_train_step_on_mesh(rng):
+    """DP over the 8-device CPU mesh: replicated params, sharded batch."""
+    assert jax.device_count() == 8
+    mesh = meshlib.create_mesh()
+    cfg = tiny_tte_cfg()
+    tcfg = TTETrainConfig(init_lr=1e-3, warmup_steps=2, total_steps=100,
+                          grad_acc_steps=1)
+    state = tte_train.init_state(jax.random.key(0), cfg, tcfg)
+    state = jax.device_put(state, meshlib.replicated(mesh))
+    batch = meshlib.shard_batch(mesh, tiny_tte_batch(rng, b=8, cfg=cfg))
+
+    state, metrics = tte_train.train_step(
+        state, batch, jax.random.key(1), cfg, tcfg, 24)
+    assert np.isfinite(float(metrics["total_loss"]))
+    # params stay replicated after the step
+    sh = state.params["head"]["w"].sharding
+    assert sh.is_fully_replicated
+
+
+def test_vocoder_val_step(rng):
+    mcfg = tiny_voc_cfg()
+    mel_cfg = MelConfig(n_fft=64, num_mels=8, hop_size=16, win_size=64,
+                        fmax=None)
+    state = voc_train.init_state(jax.random.key(0), mcfg,
+                                 VocoderTrainConfig(), steps_per_epoch=10)
+    batch = {k: jnp.asarray(v) for k, v in tiny_voc_batch(rng).items()}
+    from parrot_tts_tpu.ops import stft
+    batch["mel"] = stft.mel_spectrogram(
+        batch["audio"], n_fft=64, num_mels=8, hop_size=16, win_size=64,
+        fmax=None)
+    err = voc_train.val_step(state.gen_params, batch, mcfg, mel_cfg)
+    assert np.isfinite(float(err))
