@@ -1,0 +1,79 @@
+"""Headline benchmark: vocoder synthesis audio-seconds/s/chip.
+
+Runs the full-size unit HiFi-GAN V1 CodeGenerator (reference
+utils/vocoder/config.json topology: 512 initial channels, x320 upsample,
+~14M params) with folded weight norm — the serving configuration
+(reference utils/vocoder/inference.py:137 removes weight norm too).
+
+The reference publishes no numbers (BASELINE.md); it instruments RTF
+(real-time factor) per utterance (utils/vocoder/inference.py:65-74).
+`vs_baseline` therefore reports throughput relative to REAL-TIME synthesis
+(RTF^-1): 1.0 would mean the chip generates audio exactly as fast as it
+plays; higher is better.
+
+Prints ONE JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tts_tpu.core.config import VocoderModelConfig
+    from parrot_tts_tpu.models.vocoder import generator as gen
+
+    cfg = VocoderModelConfig()           # reference V1 config defaults
+    sr = 16_000
+    hop = cfg.total_upsample             # 320
+    batch, code_len = 8, 250             # 8 x 5.0 s utterances per batch
+    audio_seconds_per_batch = batch * code_len * hop / sr
+
+    key = jax.random.key(0)
+    params = gen.init_code_generator(key, cfg)
+    params = gen.fold_params(params)     # serving path: weight norm folded
+
+    rng = np.random.default_rng(0)
+    code = jnp.asarray(rng.integers(0, cfg.num_embeddings,
+                                    size=(batch, code_len)).astype(np.int32))
+    spkr = jnp.asarray(rng.integers(0, cfg.num_speakers,
+                                    size=(batch,)).astype(np.int32))
+
+    @jax.jit
+    def synth(params, code, spkr):
+        y = gen.apply_code_generator(params, code, spkr, cfg)
+        # scalar checksum: the per-iteration host readback below is the only
+        # reliable completion barrier on this platform (block_until_ready
+        # returns early through the axon relay)
+        return jnp.sum(y)
+
+    # compile + session warmup (first fetch pays the relay handshake)
+    for _ in range(3):
+        _ = float(synth(params, code, spkr))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = float(synth(params, code, spkr))
+    dt = time.perf_counter() - t0
+
+    audio_seconds_per_second = audio_seconds_per_batch * iters / dt
+    print(json.dumps({
+        "metric": "vocoder_synth_audio_seconds_per_second_per_chip",
+        "value": round(audio_seconds_per_second, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(audio_seconds_per_second, 2),
+    }))
+
+
+if __name__ == "__main__":
+    # keep stdout clean for the one JSON line
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    main()
