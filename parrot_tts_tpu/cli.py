@@ -1,0 +1,269 @@
+"""CLI: the reference's 10-step pipeline as subcommands.
+
+Reference workflow (README.md:29-101): preprocess-text, train-aligner,
+extract-durations, extract-units (ingest), prepare-tte, train-tte, infer-tte,
+prepare-vocoder, train-vocoder, synthesize.
+
+Usage: python -m parrot_tts_tpu.cli <subcommand> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="parrot_tts_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("preprocess-text",
+                       help="clean corpus text + build symbol inventory")
+    s.add_argument("--dataset-dir", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--transliterate", action="store_true")
+
+    s = sub.add_parser("preprocess-aligner",
+                       help="per-speaker mel/token npy dump")
+    s.add_argument("--dataset-dir", required=True)
+    s.add_argument("--speaker", required=True)
+    s.add_argument("--out-dir", required=True)
+
+    s = sub.add_parser("train-aligner", help="CTC aligner training")
+    s.add_argument("--data-dir", required=True)
+    s.add_argument("--epochs", type=int, default=450)
+    s.add_argument("--batch-size", type=int, default=16)
+
+    s = sub.add_parser("extract-durations",
+                       help="monotonic-path durations from aligner posteriors")
+    s.add_argument("--data-dir", required=True)
+    s.add_argument("--ckpt-dir", required=True)
+
+    s = sub.add_parser("ingest-units",
+                       help="validate + register a precomputed hubert.txt "
+                            "(fairseq HuBERT+kmeans is external; the "
+                            "reference also documents downloading units, "
+                            "README.md:52)")
+    s.add_argument("--hubert-txt", required=True)
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser("prepare-tte", help="join units+tokens+durations")
+    s.add_argument("--hubert-txt", required=True)
+    s.add_argument("--alignment-path", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--val-size", type=int, default=100)
+    s.add_argument("--speaker-method", default="_")
+
+    s = sub.add_parser("train-tte", help="TTE transformer training")
+    s.add_argument("--root-path", required=True)
+    s.add_argument("--alignment-path", required=True)
+    s.add_argument("--max-steps", type=int, default=None)
+
+    s = sub.add_parser("infer-tte", help="write predictions.txt")
+    s.add_argument("--root-path", required=True)
+    s.add_argument("--alignment-path", required=True)
+    s.add_argument("--ckpt-dir", required=True)
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser("prepare-vocoder", help="98/2 split of hubert.txt")
+    s.add_argument("--hubert-txt", required=True)
+    s.add_argument("--out-dir", required=True)
+
+    s = sub.add_parser("train-vocoder", help="unit HiFi-GAN GAN training")
+    s.add_argument("--data-dir", required=True)
+    s.add_argument("--run-dir", default="runs/vocoder")
+    s.add_argument("--max-steps", type=int, default=None)
+
+    s = sub.add_parser("synthesize",
+                       help="units manifest -> wavs (batched, optional "
+                            "all-speaker --vc sweep)")
+    s.add_argument("--manifest", required=True)
+    s.add_argument("--ckpt-dir", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--vc", action="store_true")
+
+    args = p.parse_args(argv)
+    return DISPATCH[args.cmd](args)
+
+
+def _preprocess_text(args):
+    from parrot_tts_tpu.pipeline.aligner_preprocess import clean_corpus
+
+    symbols = clean_corpus(args.dataset_dir, args.out_dir, args.transliterate)
+    print(json.dumps({"symbols": len(symbols)}))
+
+
+def _preprocess_aligner(args):
+    from parrot_tts_tpu.pipeline.aligner_preprocess import (
+        compute_mels_and_tokens)
+    from parrot_tts_tpu.text.tokenizer import load_symbols
+
+    out_root = Path(args.out_dir)
+    symbols = load_symbols(out_root.parent / "symbols.pkl"
+                           if (out_root.parent / "symbols.pkl").exists()
+                           else out_root / "symbols.pkl")
+    stats = compute_mels_and_tokens(
+        Path(args.dataset_dir) / args.speaker, out_root, symbols)
+    print(json.dumps(stats))
+
+
+def _train_aligner(args):
+    import jax
+
+    from parrot_tts_tpu.core.config import (AlignerModelConfig,
+                                            AlignerTrainConfig)
+    from parrot_tts_tpu.core.checkpoint import CheckpointManager
+    from parrot_tts_tpu.data.aligner_data import AlignerDataset, AlignerLoader
+    from parrot_tts_tpu.text.tokenizer import load_symbols
+    from parrot_tts_tpu.train import aligner as atrain
+
+    data_dir = Path(args.data_dir)
+    symbols = load_symbols(data_dir.parent / "symbols.pkl")
+    tcfg = AlignerTrainConfig(epochs=args.epochs, batch_size=args.batch_size)
+    ds = AlignerDataset(data_dir)
+    n_mels = ds.load(0)[0].shape[1]
+    mcfg = AlignerModelConfig(n_mels=n_mels, num_symbols=len(symbols) + 1)
+    loader = AlignerLoader(ds, tcfg.batch_size, tcfg.mel_bucket_sizes,
+                           tcfg.token_bucket_sizes)
+    state = atrain.init_state(jax.random.key(0), mcfg, tcfg)
+    mgr = CheckpointManager(data_dir / "ckpt")
+    if mgr.latest_step() is not None:
+        state = mgr.restore(template=state)
+    step = int(state.step)
+    for epoch in range(tcfg.epochs):
+        for batch in loader.batches(epoch):
+            state, metrics = atrain.train_step(state, batch, tcfg)
+            step += 1
+            if step % tcfg.checkpoint_steps == 0:
+                mgr.save(step, jax.device_get(state))
+        mgr.save(step, jax.device_get(state), wait=epoch == tcfg.epochs - 1)
+    print(json.dumps({"steps": step}))
+
+
+def _extract_durations(args):
+    from parrot_tts_tpu.core.checkpoint import CheckpointManager
+    from parrot_tts_tpu.pipeline.extract_durations import extract_all_durations
+
+    mgr = CheckpointManager(args.ckpt_dir)
+    state = mgr.restore()
+    stats = extract_all_durations(args.data_dir, state["params"],
+                                  state["bn_state"])
+    print(json.dumps(stats))
+
+
+def _ingest_units(args):
+    from parrot_tts_tpu.data.manifest import read_manifest, write_manifest
+
+    entries = read_manifest(args.hubert_txt)
+    ok = [e for e in entries if "hubert" in e and "audio" in e]
+    write_manifest(args.out, ok)
+    print(json.dumps({"entries": len(ok), "dropped": len(entries) - len(ok)}))
+
+
+def _prepare_tte(args):
+    from parrot_tts_tpu.pipeline.prepare_tte import build_tte_manifests
+
+    stats = build_tte_manifests(
+        args.hubert_txt, args.alignment_path, args.out_dir,
+        speaker_method=args.speaker_method, val_size=args.val_size)
+    print(json.dumps(stats))
+
+
+def _train_tte(args):
+    from parrot_tts_tpu.core.config import PipelineConfig
+    from parrot_tts_tpu.pipeline.train_tte import run
+
+    cfg = PipelineConfig(root_path=args.root_path,
+                         alignment_path=args.alignment_path)
+    print(json.dumps(run(cfg, max_steps=args.max_steps)))
+
+
+def _infer_tte(args):
+    from parrot_tts_tpu.core.checkpoint import CheckpointManager
+    from parrot_tts_tpu.core.config import PipelineConfig
+    from parrot_tts_tpu.data.tte_data import TTEDataset
+    from parrot_tts_tpu.infer.tte_infer import write_predictions
+
+    import dataclasses
+
+    cfg = PipelineConfig(root_path=args.root_path,
+                         alignment_path=args.alignment_path)
+    ds = TTEDataset(cfg.root_path, cfg.alignment_path, "val",
+                    cfg.tte_model.hubert_codes)
+    model_cfg = dataclasses.replace(
+        cfg.tte_model, vocab_size=ds.vocab_size,
+        n_speaker=len(ds.speaker_map), pad_idx=ds.src_pad_idx)
+    mgr = CheckpointManager(args.ckpt_dir)
+    state = mgr.restore()
+    out = write_predictions(state["params"], ds, model_cfg, args.out)
+    print(json.dumps({"predictions": str(out), "items": len(ds)}))
+
+
+def _prepare_vocoder(args):
+    from parrot_tts_tpu.pipeline.prepare_tte import prepare_vocoder_split
+
+    print(json.dumps(prepare_vocoder_split(args.hubert_txt, args.out_dir)))
+
+
+def _train_vocoder(args):
+    from parrot_tts_tpu.core.config import PipelineConfig
+    from parrot_tts_tpu.pipeline.train_vocoder import run
+
+    cfg = PipelineConfig()
+    print(json.dumps(run(cfg, data_dir=args.data_dir, run_dir=args.run_dir,
+                         max_steps=args.max_steps)))
+
+
+def _synthesize(args):
+    import numpy as np
+
+    from parrot_tts_tpu.core.checkpoint import CheckpointManager
+    from parrot_tts_tpu.core.config import PipelineConfig
+    from parrot_tts_tpu.data.manifest import parse_speaker, read_manifest
+    from parrot_tts_tpu.infer.synthesize import VocoderSynthesizer
+
+    cfg = PipelineConfig()
+    mgr = CheckpointManager(args.ckpt_dir)
+    state = mgr.restore()
+    gen_params = state["gen_params"] if "gen_params" in state else state
+    synth = VocoderSynthesizer(gen_params, cfg.vocoder_model)
+
+    entries = read_manifest(args.manifest)
+    codes = [np.asarray([int(c) for c in e["hubert"].split(" ")], np.int32)
+             for e in entries]
+    spk_names = sorted({parse_speaker(e["audio"], "_") for e in entries})
+    spk_map = {s: i for i, s in enumerate(spk_names)}
+    speakers = [spk_map.get(parse_speaker(e["audio"], "_"), 0)
+                for e in entries]
+    names = [Path(e["audio"]).stem for e in entries]
+
+    if args.vc:  # all-speaker sweep (reference inference.py:157-170)
+        n_spk = cfg.vocoder_model.num_speakers
+        all_codes = [c for c in codes for _ in range(n_spk)]
+        all_spk = [k for _ in codes for k in range(n_spk)]
+        all_names = [f"{n}_spk{k}" for n in names for k in range(n_spk)]
+        paths = synth.to_wavs(all_codes, all_spk, args.out_dir, all_names)
+    else:
+        paths = synth.to_wavs(codes, speakers, args.out_dir, names)
+    print(json.dumps({"wavs": len(paths), "rtf": synth.last_rtf}))
+
+
+DISPATCH = {
+    "preprocess-text": _preprocess_text,
+    "preprocess-aligner": _preprocess_aligner,
+    "train-aligner": _train_aligner,
+    "extract-durations": _extract_durations,
+    "ingest-units": _ingest_units,
+    "prepare-tte": _prepare_tte,
+    "train-tte": _train_tte,
+    "infer-tte": _infer_tte,
+    "prepare-vocoder": _prepare_vocoder,
+    "train-vocoder": _train_vocoder,
+    "synthesize": _synthesize,
+}
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,6 +114,9 @@ class VocoderLoader:
         if self.shuffle:
             rng.shuffle(order)
         order = order[self.process_index :: self.process_count]
+        if 0 < len(order) < self.batch_size:
+            # tiny datasets: cycle indices so one static-shape batch exists
+            order = np.resize(order, self.batch_size)
         n_full = len(order) // self.batch_size
         for b in range(n_full):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]

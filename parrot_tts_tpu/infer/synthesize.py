@@ -1,0 +1,122 @@
+"""Vocoder batch synthesis + end-to-end text -> waveform serving.
+
+Reference: `/root/reference/utils/vocoder/inference.py` (an 8-process pool of
+GPU workers, one utterance per call, RTF printed) and the demo notebook's
+clean text -> TTE infer -> CodeGenerator chain (demo.ipynb cells 9-13). Here
+synthesis is BATCHED through one compiled graph per length bucket on a single
+chip — the process pool disappears; `--vc` style all-speaker sweeps batch the
+speaker axis too.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from parrot_tts_tpu.core.config import TTEModelConfig, VocoderModelConfig
+from parrot_tts_tpu.data.audio_io import write_wav
+from parrot_tts_tpu.data.tte_data import pick_bucket
+from parrot_tts_tpu.models.vocoder import generator as gen
+from parrot_tts_tpu.text.tokenizer import DFATokenizer
+
+CODE_BUCKETS = (128, 256, 512, 1024, 2048)
+
+
+class VocoderSynthesizer:
+    """Batched unit -> waveform synthesis from folded (inference) params."""
+
+    def __init__(self, params, cfg: VocoderModelConfig, *, fold: bool = True,
+                 sample_rate: int = 16_000):
+        import jax
+
+        self.cfg = cfg
+        self.sample_rate = sample_rate
+        needs_fold = fold and "v" in params["conv_pre"]
+        self.params = gen.fold_params(params) if needs_fold else params
+        self._synth = jax.jit(
+            lambda p, c, s: gen.apply_code_generator(p, c, s, cfg))
+        self.last_rtf: float | None = None
+
+    def synthesize(self, codes: list[np.ndarray],
+                   speakers: list[int]) -> list[np.ndarray]:
+        """Batch per length bucket; returns trimmed float32 waveforms."""
+        import jax.numpy as jnp
+
+        hop = self.cfg.total_upsample
+        results: list[np.ndarray | None] = [None] * len(codes)
+        by_bucket: dict[int, list[int]] = {}
+        for i, c in enumerate(codes):
+            by_bucket.setdefault(pick_bucket(CODE_BUCKETS, len(c)), []).append(i)
+
+        t0 = time.perf_counter()
+        total_audio_s = 0.0
+        for t_len, idxs in sorted(by_bucket.items()):
+            b = len(idxs)
+            code_pad = np.zeros((b, t_len), np.int32)
+            spk = np.zeros((b,), np.int32)
+            for j, gi in enumerate(idxs):
+                c = codes[gi][:t_len]
+                code_pad[j, : len(c)] = c
+                # repeat-pad with the code sequence itself (padding with code
+                # 0 would synthesize phantom audio; we trim to true length)
+                if len(c) < t_len:
+                    reps = int(np.ceil(t_len / len(c)))
+                    code_pad[j] = np.tile(c, reps)[:t_len]
+                spk[j] = speakers[gi]
+            y = np.asarray(self._synth(self.params, jnp.asarray(code_pad),
+                                       jnp.asarray(spk)))
+            for j, gi in enumerate(idxs):
+                n = len(codes[gi][:t_len]) * hop
+                results[gi] = y[j, :n, 0]
+                total_audio_s += n / self.sample_rate
+        dt = time.perf_counter() - t0
+        self.last_rtf = dt / total_audio_s if total_audio_s else None
+        return results  # type: ignore[return-value]
+
+    def to_wavs(self, codes, speakers, out_dir: str | Path,
+                names: list[str] | None = None) -> list[Path]:
+        out_dir = Path(out_dir)
+        wavs = self.synthesize(codes, speakers)
+        paths = []
+        for i, w in enumerate(wavs):
+            name = names[i] if names else f"utt_{i:05d}"
+            p = out_dir / f"{name}_gen.wav"
+            write_wav(p, w, self.sample_rate)
+            paths.append(p)
+        return paths
+
+
+def synthesize_text(
+    text: str,
+    *,
+    tte_params,
+    tte_cfg: TTEModelConfig,
+    tokenizer: DFATokenizer,
+    synthesizer: VocoderSynthesizer,
+    cleaner,
+    speaker_id: int = 0,
+    vocoder_speaker_id: int | None = None,
+) -> np.ndarray:
+    """End-to-end: clean text -> char tokens -> TTE units -> waveform
+    (the demo notebook path, demo.ipynb cells 9-13)."""
+    import jax.numpy as jnp
+
+    from parrot_tts_tpu.models.tte import parrot
+
+    cleaned = cleaner(text)
+    symbols = ["sil" if ch == " " else ch for ch in cleaned]
+    phones = [tokenizer.stoi[s] for s in symbols if s in tokenizer.stoi]
+    s_len = len(phones)
+    batch = {
+        "phones": jnp.asarray(np.asarray(phones, np.int32)[None]),
+        "src_mask": jnp.ones((1, s_len), bool),
+        "speaker": jnp.asarray([speaker_id], np.int32),
+    }
+    out_len = min(s_len * 16, tte_cfg.max_len)
+    codes, mask = parrot.infer_codes(tte_params, batch, tte_cfg,
+                                     out_len=out_len)
+    units = np.asarray(codes)[0][np.asarray(mask)[0]]
+    spk = vocoder_speaker_id if vocoder_speaker_id is not None else speaker_id
+    return synthesizer.synthesize([units], [spk])[0]

@@ -1,0 +1,123 @@
+"""TTE training driver: data -> compiled DP steps -> eval/ckpt/logging.
+
+The runnable equivalent of `python train.py --config ... --num_gpus N`
+(reference `/root/reference/train.py:117-191`), on a jax mesh instead of
+Lightning DDP.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from parrot_tts_tpu.core import checkpoint as ckptlib
+from parrot_tts_tpu.core import mesh as meshlib
+from parrot_tts_tpu.core.config import (
+    PipelineConfig,
+    TTEModelConfig,
+    TTETrainConfig,
+    to_json,
+)
+from parrot_tts_tpu.core.metrics import CsvLogger, MetricsWriter, Throughput
+from parrot_tts_tpu.data.prefetch import device_prefetch
+from parrot_tts_tpu.data.tte_data import BucketedLoader, TTEDataset
+from parrot_tts_tpu.train import tte as tte_train
+
+
+def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
+        max_steps: int | None = None, resume: bool = True) -> dict:
+    run_dir = Path(run_dir or cfg.root_path)
+    tcfg = cfg.tte_train
+
+    train_ds = TTEDataset(cfg.root_path, cfg.alignment_path, "train",
+                          cfg.tte_model.hubert_codes)
+    val_ds = TTEDataset(cfg.root_path, cfg.alignment_path, "val",
+                        cfg.tte_model.hubert_codes)
+    import dataclasses
+
+    model_cfg = dataclasses.replace(
+        cfg.tte_model, vocab_size=train_ds.vocab_size,
+        n_speaker=len(train_ds.speaker_map), pad_idx=train_ds.src_pad_idx)
+
+    mesh = meshlib.create_mesh()
+    n_data = mesh.shape[cfg.mesh.data_axis]
+    global_batch = tcfg.batch_size * n_data
+
+    # drop_last=False: partial batches are padded to static shape by sample
+    # repetition (keeps tiny datasets trainable on wide meshes)
+    loader = BucketedLoader(train_ds, global_batch, tcfg.src_buckets,
+                            tcfg.tgt_buckets, seed=tcfg.seed, drop_last=False)
+    val_loader = BucketedLoader(val_ds, global_batch, tcfg.src_buckets,
+                                tcfg.tgt_buckets, seed=0, shuffle=False)
+
+    state = tte_train.init_state(jax.random.key(tcfg.seed), model_cfg, tcfg)
+    state = jax.device_put(state, meshlib.replicated(mesh))
+
+    mgr = ckptlib.CheckpointManager(run_dir / "ckpt")
+    ckptlib.save_config_json(run_dir / "ckpt", to_json(model_cfg))
+    if resume and mgr.latest_step() is not None:
+        state = mgr.restore(template=state)
+        state = jax.device_put(state, meshlib.replicated(mesh))
+
+    writer = MetricsWriter(run_dir / "logs")
+    csv = CsvLogger(run_dir / "logs")
+    thr = Throughput()
+    rng = jax.random.key(tcfg.seed + 1)
+
+    total = max_steps if max_steps is not None else tcfg.total_steps
+    micro_steps = int(state.step)
+    epoch = 0
+    done = False
+    while not done:
+        made_progress = False
+        for batch in device_prefetch(loader.batches(epoch), mesh):
+            tgt_len = batch["codes"].shape[1]
+            batch.pop("ids", None)
+            state, metrics = tte_train.train_step(
+                state, batch, rng, model_cfg, tcfg, tgt_len)
+            made_progress = True
+            micro_steps += 1
+            opt_steps = micro_steps // tcfg.grad_acc_steps
+            thr.tick()
+
+            if micro_steps % (tcfg.log_every * tcfg.grad_acc_steps) == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                writer.scalars(opt_steps, **{f"train_{k}": v
+                                             for k, v in vals.items()})
+                csv.log(opt_steps, **vals, **{"sec_per_batch":
+                        thr.report()["seconds_per_batch"]})
+                thr.reset()
+            if micro_steps % (tcfg.val_every * tcfg.grad_acc_steps) == 0:
+                val = evaluate(state.params, val_loader, model_cfg)
+                writer.scalars(opt_steps, **{f"val_{k}": v
+                                             for k, v in val.items()})
+            if micro_steps % (tcfg.save_every * tcfg.grad_acc_steps) == 0:
+                mgr.save(opt_steps, jax.device_get(state))
+            if opt_steps >= total:
+                done = True
+                break
+        if not made_progress:
+            raise RuntimeError("loader yielded no batches this epoch")
+        epoch += 1
+
+    mgr.save(micro_steps // tcfg.grad_acc_steps, jax.device_get(state),
+             wait=True)
+    writer.close()
+    return {"steps": micro_steps // tcfg.grad_acc_steps, "epochs": epoch}
+
+
+def evaluate(params, val_loader: BucketedLoader,
+             model_cfg: TTEModelConfig) -> dict:
+    sums: dict[str, float] = {}
+    n = 0
+    for batch in val_loader.batches(0):
+        tgt_len = batch["codes"].shape[1]
+        batch.pop("ids", None)
+        m = tte_train.eval_step(params, batch, model_cfg, tgt_len)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
