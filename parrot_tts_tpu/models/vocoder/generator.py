@@ -52,8 +52,9 @@ def _wn_convt1d_init(key, k, cin, cout):
             "b": init_ops.uniform_fan_in(kb, (cout,), cin * k)}
 
 
-def _kernel(p: dict, axes) -> jnp.ndarray:
-    return wn_resolve(p, axes) if "v" in p else p["w"]
+def _kernel(p: dict, axes, dtype=None) -> jnp.ndarray:
+    w = wn_resolve(p, axes) if "v" in p else p["w"]
+    return w.astype(dtype) if dtype is not None else w
 
 
 def init_resblock1(key, channels: int, kernel_size: int,
@@ -69,16 +70,19 @@ def init_resblock1(key, channels: int, kernel_size: int,
 
 
 def apply_resblock1(p: dict, x: jnp.ndarray, kernel_size: int,
-                    dilations: tuple[int, ...], precision=None) -> jnp.ndarray:
+                    dilations: tuple[int, ...], precision=None,
+                    dtype=None) -> jnp.ndarray:
     """ResBlock1 (reference models.py:13-44): pairs of (dilated, plain) convs
     with leaky relus and residual adds."""
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        xt = conv_ops.conv1d(xt, _kernel(c1, WN_AXES_CONV1D), c1["b"],
+        xt = conv_ops.conv1d(xt, _kernel(c1, WN_AXES_CONV1D, dtype),
+                             c1["b"].astype(x.dtype),
                              padding=conv_ops.get_padding(kernel_size, d),
                              dilation=d, precision=precision)
         xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-        xt = conv_ops.conv1d(xt, _kernel(c2, WN_AXES_CONV1D), c2["b"],
+        xt = conv_ops.conv1d(xt, _kernel(c2, WN_AXES_CONV1D, dtype),
+                             c2["b"].astype(x.dtype),
                              padding=conv_ops.get_padding(kernel_size, 1),
                              precision=precision)
         x = xt + x
@@ -95,11 +99,13 @@ def init_resblock2(key, channels: int, kernel_size: int,
 
 
 def apply_resblock2(p: dict, x: jnp.ndarray, kernel_size: int,
-                    dilations: tuple[int, ...], precision=None) -> jnp.ndarray:
+                    dilations: tuple[int, ...], precision=None,
+                    dtype=None) -> jnp.ndarray:
     """ResBlock2 (reference models.py:47-66)."""
     for c, d in zip(p["convs"], dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        xt = conv_ops.conv1d(xt, _kernel(c, WN_AXES_CONV1D), c["b"],
+        xt = conv_ops.conv1d(xt, _kernel(c, WN_AXES_CONV1D, dtype),
+                             c["b"].astype(x.dtype),
                              padding=conv_ops.get_padding(kernel_size, d),
                              dilation=d, precision=precision)
         x = xt + x
@@ -137,27 +143,32 @@ def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
     -> waveform (B, T*320, 1)."""
     nk = len(cfg.resblock_kernel_sizes)
     apply_rb = apply_resblock1 if cfg.resblock == "1" else apply_resblock2
+    dtype = jnp.dtype(cfg.dtype)
+    x = x.astype(dtype)
 
-    x = conv_ops.conv1d(x, _kernel(params["conv_pre"], WN_AXES_CONV1D),
-                        params["conv_pre"]["b"], padding=3, precision=precision)
+    x = conv_ops.conv1d(x, _kernel(params["conv_pre"], WN_AXES_CONV1D, dtype),
+                        params["conv_pre"]["b"].astype(dtype), padding=3,
+                        precision=precision)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         up = params["ups"][i]
         x = conv_ops.conv_transpose1d(
-            x, _kernel(up, WN_AXES_CONV_T1D), up["b"],
+            x, _kernel(up, WN_AXES_CONV_T1D, dtype), up["b"].astype(dtype),
             stride=u, padding=(k - u) // 2, precision=precision)
         acc = None
         for j in range(nk):
             rb = params["resblocks"][i * nk + j]
             y = apply_rb(rb, x, cfg.resblock_kernel_sizes[j],
-                         cfg.resblock_dilation_sizes[j], precision=precision)
+                         cfg.resblock_dilation_sizes[j], precision=precision,
+                         dtype=dtype)
             acc = y if acc is None else acc + y
         x = acc / nk
     # final leaky uses torch's DEFAULT slope 0.01 (reference models.py:107)
     x = jax.nn.leaky_relu(x, 0.01)
-    x = conv_ops.conv1d(x, _kernel(params["conv_post"], WN_AXES_CONV1D),
-                        params["conv_post"]["b"], padding=3, precision=precision)
-    return jnp.tanh(x)
+    x = conv_ops.conv1d(x, _kernel(params["conv_post"], WN_AXES_CONV1D, dtype),
+                        params["conv_post"]["b"].astype(dtype), padding=3,
+                        precision=precision)
+    return jnp.tanh(x).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

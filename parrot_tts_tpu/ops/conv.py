@@ -55,16 +55,27 @@ def conv_transpose1d(
     stride: int = 1,
     padding: int = 0,
     precision=None,
+    polyphase: bool = True,
 ) -> jnp.ndarray:
     """torch.nn.ConvTranspose1d on (B, T, Cin), w (K, Cin, Cout).
 
-    Torch semantics: out_len = (T-1)*stride - 2*padding + K. Implemented as a
-    fractionally-strided conv: insert (stride-1) zeros between inputs
-    (lhs_dilation), pad (K-1-padding) on both sides, convolve with the
-    spatially-flipped kernel. This matches the vocoder's 5-stage x320
-    upsample (reference utils/vocoder/models.py:85-91) bit-for-bit.
+    Torch semantics: out_len = (T-1)*stride - 2*padding + K. Two lowerings:
+
+    * polyphase (default when K - 2*padding == stride, the vocoder's
+      upsample configuration): the K-tap zero-inserting deconvolution is
+      repacked as ONE dense conv with ceil(K/stride) taps producing
+      stride*Cout channels, then a depth-to-time reshape — stride x fewer
+      MACs and no multiply-by-zero work on the MXU.
+    * general: fractionally-strided conv via lhs_dilation with the
+      spatially-flipped kernel.
+
+    Both match the reference's 5-stage x320 upsample
+    (utils/vocoder/models.py:85-91) bit-for-bit up to fp reassociation.
     """
     k = w.shape[0]
+    if polyphase and stride > 1 and k - 2 * padding == stride:
+        return _conv_transpose1d_polyphase(x, w, b, stride, padding,
+                                           precision)
     w_flip = jnp.flip(w, axis=0)
     out = jax.lax.conv_general_dilated(
         x,
@@ -76,6 +87,50 @@ def conv_transpose1d(
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
         precision=precision,
     )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _polyphase_plan(k: int, u: int, pad: int):
+    """Static packing plan. Phase p of the output (o = t*u + p) reads input
+    taps j = j0_p + m*u with j0_p = (p+pad) % u, shifted by
+    s_p = (p+pad-j0_p)//u:  out[t*u+p] = sum_m x[t+s_p-m] * w[j0_p+m*u]."""
+    j0 = [(p + pad) % u for p in range(u)]
+    m_taps = [-(-(k - j) // u) for j in j0]            # ceil((k-j0)/u)
+    s = [(p + pad - j0[p]) // u for p in range(u)]
+    pad_left = max(m_taps[p] - 1 - s[p] for p in range(u))
+    q_len = pad_left + max(s) + 1
+    return j0, m_taps, s, pad_left, q_len
+
+
+def _conv_transpose1d_polyphase(x, w, b, stride, padding, precision):
+    k, cin, cout = w.shape
+    u = stride
+    j0, m_taps, s, pad_left, q_len = _polyphase_plan(k, u, padding)
+
+    # W2[q, ci, p, co] = w[j0_p + (pad_left + s_p - q)*u, ci, co] (or 0)
+    q_idx = np.arange(q_len)[:, None]                  # (Q, 1)
+    m = np.asarray([pad_left + s[p] for p in range(u)])[None, :] - q_idx
+    j = np.asarray(j0)[None, :] + m * u                # (Q, u)
+    valid = (m >= 0) & (m < np.asarray(m_taps)[None, :])
+    j_safe = np.where(valid, j, 0)
+
+    w2 = jnp.take(w, jnp.asarray(j_safe.reshape(-1)), axis=0)
+    w2 = w2.reshape(q_len, u, cin, cout)
+    w2 = jnp.where(jnp.asarray(valid)[:, :, None, None], w2, 0)
+    w2 = w2.transpose(0, 2, 1, 3).reshape(q_len, cin, u * cout)
+
+    y = jax.lax.conv_general_dilated(
+        x, w2.astype(w.dtype),
+        window_strides=(1,),
+        padding=((pad_left, q_len - 1 - pad_left),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        precision=precision,
+    )                                                   # (B, T, u*Cout)
+    bsz, t = x.shape[0], x.shape[1]
+    out = y.reshape(bsz, t * u, cout)
     if b is not None:
         out = out + b
     return out

@@ -1,0 +1,186 @@
+"""Data layer: manifests, TTE bucketed loader, vocoder segment dataset,
+adjust_duration parity, audio IO, reference config loaders."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from parrot_tts_tpu.data import audio_io
+from parrot_tts_tpu.data.manifest import (
+    parse_manifest_line,
+    parse_speaker,
+    read_manifest,
+    write_manifest,
+)
+from parrot_tts_tpu.pipeline.prepare_tte import adjust_duration
+
+from tests import reference_oracle
+
+
+def test_manifest_roundtrip(tmp_path):
+    entries = [
+        {"audio": "/data/en_f_utt1.wav", "hubert": "1 2 3",
+         "duration": "1.5", "speaker": "en_f"},
+        {"audio": "/data/hi_m_utt2.wav", "hubert": "7 8",
+         "duration": "0.5", "speaker": "hi_m"},
+    ]
+    p = tmp_path / "m.txt"
+    write_manifest(p, entries)
+    assert read_manifest(p) == entries
+
+
+def test_manifest_handles_apostrophes():
+    # the reference's json quote-replace parse breaks on this; ours must not
+    line = "{'audio': \"/data/o'brien_1.wav\", 'hubert': '1 2'}"
+    d = parse_manifest_line(line)
+    assert d["audio"] == "/data/o'brien_1.wav"
+
+
+def test_parse_speaker():
+    assert parse_speaker("/x/en_f_00001.wav", "_") == "en_f"
+    assert parse_speaker("/x/whatever.wav", "single") == "A"
+
+
+def test_adjust_duration_cases():
+    assert adjust_duration(10, [5, 5]) == [5, 5]
+    assert adjust_duration(12, [5, 5]) == [5, 7]          # diff=-2: grow last
+    assert adjust_duration(9, [5, 5]) == [5, 4]           # diff=1: shrink last
+    assert adjust_duration(8, [5, 5]) == [5, 3]           # diff=2: shrink last
+    assert adjust_duration(8, [9, 1]) == [7, 1]           # last too small
+    assert adjust_duration(2, [2, 2]) == [1, 1]           # split across both
+    assert adjust_duration(5, [5, 5]) is None             # |diff| > 2
+    assert adjust_duration(1, [1, 2]) is None             # diff=2 unsplittable
+
+
+@pytest.mark.skipif(not reference_oracle.available(),
+                    reason="reference mount not present")
+def test_adjust_duration_matches_reference(rng):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_tte_pre", "/root/reference/utils/TTE/preprocessor.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    for _ in range(200):
+        n = int(rng.integers(1, 6))
+        durs = [int(x) for x in rng.integers(1, 6, size=n)]
+        total = sum(durs) + int(rng.integers(-3, 4))
+        want = ref.adjust_duration(total, list(durs))
+        got = adjust_duration(total, list(durs))
+        assert got == (list(want) if want is not None else None), \
+            (total, durs)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    wav = np.clip((rng.standard_normal(1600) * 0.3), -1, 1).astype(np.float32)
+    p = tmp_path / "a.wav"
+    audio_io.write_wav(p, wav, 16000)
+    data, sr = audio_io.read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(data / 32767.0, wav, atol=1e-4)
+    assert abs(audio_io.duration_seconds(p) - 0.1) < 1e-6
+
+
+def test_load_normalized_peak(tmp_path, rng):
+    wav = (rng.standard_normal(1000) * 0.1).astype(np.float32)
+    p = tmp_path / "b.wav"
+    audio_io.write_wav(p, wav, 16000)
+    audio, sr = audio_io.load_normalized(p)
+    assert abs(np.abs(audio).max() - 0.95) < 1e-3
+
+
+def test_tte_bucketed_loader(tmp_path, rng):
+    from parrot_tts_tpu.data.tte_data import BucketedLoader, TTEDataset
+    from parrot_tts_tpu.text.tokenizer import save_symbols
+
+    align = tmp_path / "aligner"
+    align.mkdir()
+    save_symbols(align / "symbols.json", [" ", "a", "b", "c"])
+    root = tmp_path / "tte"
+    root.mkdir()
+    (root / "speakers.json").write_text(json.dumps({"en_f": 0, "en_m": 1}))
+    entries = []
+    for i in range(7):
+        n_char = int(rng.integers(3, 10))
+        chars = " ".join(rng.choice(["a", "b", "c", "sil"], size=n_char))
+        durs = rng.integers(1, 4, size=n_char)
+        total = int(durs.sum())
+        entries.append({
+            "audio": f"/x/en_f_{i:03d}.wav",
+            "characters": chars,
+            "hubert": " ".join(map(str, rng.integers(0, 20, size=total))),
+            "duration": " ".join(map(str, durs)),
+            "speaker": "en_f" if i % 2 else "en_m",
+        })
+    write_manifest(root / "train.txt", entries)
+
+    ds = TTEDataset(root, align, "train", hubert_codes=20)
+    loader = BucketedLoader(ds, batch_size=4, src_buckets=(8, 16),
+                            tgt_buckets=(16, 32), drop_last=False)
+    seen = 0
+    for batch in loader.batches(0):
+        b, s = batch["phones"].shape
+        assert b == 4 and s in (8, 16)
+        assert batch["codes"].shape[1] in (16, 32)
+        # mask semantics: phones pad = pad_idx, codes pad = 20
+        assert (batch["phones"][~batch["src_mask"]] == ds.src_pad_idx).all()
+        assert (batch["codes"][~batch["tgt_mask"]] == 20).all()
+        # durations sum == tgt_mask count per sample
+        np.testing.assert_array_equal(batch["duration"].sum(1),
+                                      batch["tgt_mask"].sum(1))
+        seen += 1
+    assert seen >= 2  # multiple buckets exercised
+
+
+def test_vocoder_dataset_segment(tmp_path, rng):
+    from parrot_tts_tpu.data.vocoder_data import VocoderDataset
+
+    hop, seg = 16, 256
+    entries = []
+    for i, n in enumerate([2000, 100]):  # second is shorter than segment
+        wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        p = tmp_path / f"en_f_{i:03d}.wav"
+        audio_io.write_wav(p, wav, 16000)
+        codes = rng.integers(0, 50, size=n // hop)
+        entries.append({"audio": str(p),
+                        "hubert": " ".join(map(str, codes))})
+    write_manifest(tmp_path / "train.txt", entries)
+
+    ds = VocoderDataset(tmp_path / "train.txt", segment_size=seg,
+                        code_hop_size=hop, multispkr="_")
+    g = np.random.default_rng(0)
+    for i in range(2):
+        item = ds.load_item(i, g)
+        assert item["audio"].shape == (seg,)
+        assert item["code"].shape == (seg // hop,)
+        assert np.abs(item["audio"]).max() <= 0.95 + 1e-5
+
+
+@pytest.mark.skipif(not reference_oracle.available(),
+                    reason="reference mount not present")
+def test_reference_config_loaders():
+    from parrot_tts_tpu.core.config import (
+        TTEModelConfig,
+        TTETrainConfig,
+        VocoderModelConfig,
+        VocoderTrainConfig,
+        load_reference_tte_yaml,
+        load_reference_vocoder_json,
+    )
+
+    y = load_reference_tte_yaml("/root/reference/utils/TTE/TTE_config.yaml")
+    m = TTEModelConfig.from_reference_yaml(y, vocab_size=50, n_speaker=10)
+    assert m.d_model == 256 and m.max_len == 3500
+    assert m.conv_kernel_sizes == (9, 1) and m.hubert_codes == 1000
+    t = TTETrainConfig.from_reference_yaml(y)
+    assert t.warmup_steps == 2000 and t.batch_size == 6 and t.grad_acc_steps == 4
+
+    h = load_reference_vocoder_json("/root/reference/utils/vocoder/config.json")
+    vm = VocoderModelConfig.from_reference_json(h)
+    assert vm.upsample_rates == (5, 4, 4, 2, 2)
+    assert vm.total_upsample == 320 and vm.model_in_dim == 256
+    vt = VocoderTrainConfig.from_reference_json(h)
+    assert vt.segment_size == 8960 and vt.adam_b1 == 0.8
