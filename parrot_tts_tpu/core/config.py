@@ -59,6 +59,9 @@ class TTEModelConfig:
     #   duration-predictor conv2 hardcoded padding=1    (modules/duration.py:34)
     #   inference tgt_mask `ids <= length` off-by-one   (modules/data.py:18)
     reference_compat: bool = True
+    # rematerialize FFT blocks in the training backward pass (saves the
+    # (B, H, T, T) attention-weight tensors at long decoder lengths)
+    remat: bool = True
     # compute dtype for matmuls (params stay float32)
     dtype: str = "float32"
 
@@ -100,9 +103,10 @@ class TTETrainConfig:
     grad_acc_steps: int = 4
     grad_clip: float = 1.0
     seed: int = 42
-    # static-shape bucketing (jit requirement; reference pads per-batch dynamically)
-    src_buckets: tuple[int, ...] = (64, 128, 192, 256)
-    tgt_buckets: tuple[int, ...] = (512, 1024, 2048, 3500)
+    # static-shape bucketing (jit requirement; reference pads per-batch
+    # dynamically). Multiples of 128 keep the flash-attention path eligible.
+    src_buckets: tuple[int, ...] = (128, 256)
+    tgt_buckets: tuple[int, ...] = (512, 1024, 2048, 3584)
 
     @classmethod
     def from_reference_yaml(cls, cfg: dict) -> "TTETrainConfig":

@@ -135,18 +135,30 @@ def init_parrot(key, cfg: TTEModelConfig) -> dict:
 
 
 def pos_table(cfg: TTEModelConfig) -> jnp.ndarray:
-    return jnp.asarray(fft.sinusoidal_pos_table(cfg.max_len, cfg.d_model))
+    """PE table padded to a multiple of 128 rows so flash-attention-aligned
+    buckets (e.g. 3584 > max_len 3500) still index valid rows; rows beyond
+    max_len only ever position padded frames."""
+    rows = -(-cfg.max_len // 128) * 128
+    return jnp.asarray(fft.sinusoidal_pos_table(rows, cfg.d_model))
 
 
 def _run_stack(layers, x, cfg: TTEModelConfig, stack_cfg, pad_mask,
                dropout_rng, deterministic, precision):
+    def block(lp, x, pad_mask, rng_i):
+        return fft.apply_fft_block(
+            lp, x, kernel_sizes=cfg.conv_kernel_sizes,
+            n_head=stack_cfg.n_head, key_padding_mask=pad_mask,
+            dropout_p=stack_cfg.dropout_p, dropout_rng=rng_i,
+            deterministic=deterministic, precision=precision)
+
+    if cfg.remat and not deterministic:
+        # rematerialize per block: the XLA attention path otherwise saves
+        # (B, H, T, T) weights for backward — at T=3584 that dominates HBM
+        block = jax.checkpoint(block)
     for i, lp in enumerate(layers):
         rng_i = (jax.random.fold_in(dropout_rng, i)
                  if dropout_rng is not None else None)
-        x = fft.apply_fft_block(
-            lp, x, kernel_sizes=cfg.conv_kernel_sizes, n_head=stack_cfg.n_head,
-            key_padding_mask=pad_mask, dropout_p=stack_cfg.dropout_p,
-            dropout_rng=rng_i, deterministic=deterministic, precision=precision)
+        x = block(lp, x, pad_mask, rng_i)
     return x
 
 

@@ -61,18 +61,62 @@ def multi_head_attention(
         return x.reshape(b, -1, n_head, d_head).transpose(0, 2, 1, 3)
 
     qp, kp, vp = heads(qp), heads(kp), heads(vp)     # (B, H, T, dh)
+    scale = 1.0 / math.sqrt(d_head)
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qp, kp, precision=precision
-    ) / math.sqrt(d_head)
-    if key_padding_mask is not None:
-        scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, scores)
+    if _use_flash(t, d_head, dropout_p, deterministic):
+        out = _flash_attention(qp, kp, vp, key_padding_mask, scale)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qp, kp, precision=precision) * scale
+        if key_padding_mask is not None:
+            scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF,
+                               scores)
 
-    attn = jax.nn.softmax(scores, axis=-1)
-    if dropout_p > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, attn.shape)
-        attn = jnp.where(keep, attn / (1.0 - dropout_p), 0.0)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if dropout_p > 0.0 and not deterministic:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p,
+                                        attn.shape)
+            attn = jnp.where(keep, attn / (1.0 - dropout_p), 0.0)
 
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp, precision=precision)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp, precision=precision)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
     return jnp.einsum("btd,de->bte", out, out_proj, precision=precision)
+
+
+def _use_flash(t: int, d_head: int, dropout_p: float,
+               deterministic: bool) -> bool:
+    """Flash-attention path: TPU backend, MXU-aligned shapes, no attention
+    dropout (the stock Pallas kernel doesn't implement it — training with
+    dropout keeps the XLA path, which remat keeps memory-bounded)."""
+    if not deterministic and dropout_p > 0.0:
+        return False
+    if d_head % 128 or t % 128 or t < 512:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _flash_attention(qp, kp, vp, key_padding_mask, scale):
+    """Pallas flash attention (jax stock TPU kernel) with the torch
+    key_padding_mask expressed as segment ids: valid tokens are segment 1,
+    pads segment 0 — valid queries attend exactly the unmasked keys, pad
+    queries attend only pads (their outputs are zeroed downstream)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    t = qp.shape[2]
+    seg = None
+    if key_padding_mask is not None:
+        ids = (~key_padding_mask).astype(jnp.int32)
+        seg = SegmentIds(q=ids, kv=ids)
+    blk = min(512, t)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
+    return flash_attention(qp, kp, vp, segment_ids=seg, sm_scale=scale,
+                           causal=False, block_sizes=sizes)
