@@ -94,6 +94,15 @@ class MetricsWriter:
             self._tb.add_audio(tag, np.asarray(wav)[None, :], step,
                                sample_rate=sample_rate)
 
+    def text(self, tag: str, value: str, step: int) -> None:
+        """Text artifact logging (the aligner's decoded-vs-target strings,
+        reference utils/aligner/trainer.py:112-115)."""
+        out = self.dir / "text" / f"{tag.replace('/', '_')}_{step}.txt"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(value)
+        if self._tb is not None:
+            self._tb.add_text(tag, value, step)
+
     def figure_spectrogram(self, tag: str, spec: np.ndarray, step: int) -> None:
         """Spectrogram figure logging (reference utils/vocoder/utils.py:20-29)."""
         try:

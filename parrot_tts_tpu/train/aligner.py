@@ -78,3 +78,23 @@ def posteriors(params, bn_state, mel: jnp.ndarray) -> jnp.ndarray:
     (reference extract_durations.py:86-95)."""
     logits, _ = amodel.apply_aligner(params, bn_state, mel, train=False)
     return jax.nn.softmax(logits, axis=-1)
+
+
+def alignment_debug_text(logits, tokens, token_length, tokenizer) -> dict:
+    """Human-inspection artifact matching the reference's TB text logs
+    (utils/aligner/trainer.py:90-116): the greedy CTC decode (collapsed
+    repeats, blanks dropped) next to the target transcript."""
+    import numpy as np
+
+    ids = np.asarray(jnp.argmax(logits, axis=-1))
+    collapsed = []
+    prev = -1
+    for i in ids:
+        if i != prev and i != 0:
+            collapsed.append(int(i))
+        prev = i
+    target = [int(t) for t in np.asarray(tokens)[:int(token_length)]]
+    return {
+        "decoded": tokenizer.decode(collapsed),
+        "target": tokenizer.decode(target),
+    }

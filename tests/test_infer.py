@@ -1,0 +1,80 @@
+"""Inference-layer tests: synthesis bucketing/trimming, alignment debug
+text, metrics writers."""
+
+import numpy as np
+
+import jax
+
+from parrot_tts_tpu.core.config import VocoderModelConfig
+from parrot_tts_tpu.core.metrics import MetricsWriter, Throughput
+from parrot_tts_tpu.infer.synthesize import VocoderSynthesizer
+from parrot_tts_tpu.models.vocoder import generator as gen
+
+
+def tiny_cfg():
+    return VocoderModelConfig(
+        resblock="1", upsample_rates=(4,), upsample_kernel_sizes=(8,),
+        upsample_initial_channel=8, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1,),), num_embeddings=20, embedding_dim=4,
+        model_in_dim=8, multispkr="_", num_speakers=3)
+
+
+def test_synthesizer_buckets_and_trims(rng):
+    cfg = tiny_cfg()
+    params = gen.init_code_generator(jax.random.key(0), cfg)
+    synth = VocoderSynthesizer(params, cfg)
+    assert "w" in synth.params["conv_pre"]  # weight norm folded
+
+    lens = [37, 100, 400, 37]
+    codes = [rng.integers(0, 20, size=n).astype(np.int32) for n in lens]
+    wavs = synth.synthesize(codes, [0, 1, 2, 0])
+    hop = cfg.total_upsample
+    for n, w in zip(lens, wavs):
+        assert w.shape == (n * hop,)
+        assert np.isfinite(w).all()
+    assert synth.last_rtf is not None and synth.last_rtf > 0
+
+    # batching must not change per-utterance output: same code alone
+    solo = synth.synthesize([codes[0]], [0])[0]
+    np.testing.assert_allclose(solo, wavs[0], atol=1e-5)
+
+
+def test_alignment_debug_text():
+    import jax.numpy as jnp
+
+    from parrot_tts_tpu.text.tokenizer import CharTokenizer
+    from parrot_tts_tpu.train.aligner import alignment_debug_text
+
+    tok = CharTokenizer(["a", "b", "c"])
+    # logits argmax: [a a blank b b c] -> collapsed "abc"
+    t, v = 6, 4
+    logits = np.full((t, v), -10.0, np.float32)
+    for i, sym in enumerate([1, 1, 0, 2, 2, 3]):
+        logits[i, sym] = 10.0
+    out = alignment_debug_text(jnp.asarray(logits),
+                               np.asarray([1, 2, 3]), 3, tok)
+    assert out["decoded"] == "abc"
+    assert out["target"] == "abc"
+
+
+def test_metrics_writer(tmp_path, rng):
+    w = MetricsWriter(tmp_path)
+    w.scalar("loss", 1.5, step=1)
+    w.scalars(2, loss=1.2, acc=0.8)
+    w.audio("val/sample", (rng.standard_normal(160) * 0.1), 3, 16000)
+    w.text("debug/align", "decoded | target", 4)
+    w.figure_spectrogram("val/spec", rng.standard_normal((20, 8)), 5)
+    w.close()
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert list((tmp_path / "audio").glob("*.wav"))
+    assert list((tmp_path / "text").glob("*.txt"))
+
+
+def test_throughput():
+    t = Throughput()
+    t.tick(2.0)
+    t.tick(2.0)
+    rep = t.report()
+    assert rep["seconds_per_batch"] > 0
+    assert rep["audio_seconds_per_second"] > 0
+    assert rep["rtf"] == 1.0 / rep["audio_seconds_per_second"]
