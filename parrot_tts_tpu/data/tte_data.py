@@ -110,7 +110,8 @@ class BucketedLoader:
     def __init__(self, dataset: TTEDataset, batch_size: int,
                  src_buckets: tuple[int, ...], tgt_buckets: tuple[int, ...],
                  seed: int = 42, shuffle: bool = True,
-                 drop_last: bool = False):
+                 drop_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.src_buckets = src_buckets
@@ -118,8 +119,14 @@ class BucketedLoader:
         self.seed = seed
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
 
     def batches(self, epoch: int = 0) -> Iterator[dict]:
+        """Multi-host: every host derives the identical batch schedule from
+        the shared seed (bucket boundaries and batch order must agree across
+        hosts or pjit programs diverge — SURVEY.md §7), then takes its
+        process_index-strided slice of each GLOBAL batch."""
         by_bucket: dict[tuple[int, int], list[int]] = {}
         for i, s in enumerate(self.ds.samples):
             key = (pick_bucket(self.src_buckets, len(s.phones)),
@@ -141,11 +148,16 @@ class BucketedLoader:
         if self.shuffle:
             rng.shuffle(all_batches)
 
+        local = self.batch_size // self.process_count
         for src_len, tgt_len, chunk in all_batches:
-            samples = [self.ds.samples[i] for i in chunk]
+            idxs = list(chunk)
             # keep shapes static: pad short batches by repeating sample 0
-            while len(samples) < self.batch_size:
-                samples.append(samples[0])
+            while len(idxs) < self.batch_size:
+                idxs.append(idxs[0])
+            if self.process_count > 1:
+                idxs = idxs[self.process_index * local
+                            : (self.process_index + 1) * local]
+            samples = [self.ds.samples[i] for i in idxs]
             yield collate(samples, src_len, tgt_len,
                           self.ds.src_pad_idx, self.ds.code_pad_idx)
 

@@ -134,14 +134,24 @@ def apply_fft_block(
 
     a = params["attn"]
     h = layer_norm(x, params["attn_norm"]["scale"], params["attn_norm"]["bias"])
-    q, k, v = jnp.split(
-        jnp.einsum("btd,de->bte", h, a["qkv"], precision=precision), 3, axis=-1)
-    y = attn_ops.multi_head_attention(
-        q, k, v, a["in_proj"], a["out_proj"], n_head,
-        key_padding_mask=key_padding_mask, dropout_p=dropout_p,
-        dropout_rng=dropout_rng, deterministic=deterministic,
-        precision=precision)
-    y = jnp.einsum("btd,de->bte", y, a["wo"], precision=precision)
+    if "qkv" in a:
+        q, k, v = jnp.split(
+            jnp.einsum("btd,de->bte", h, a["qkv"], precision=precision),
+            3, axis=-1)
+        y = attn_ops.multi_head_attention(
+            q, k, v, a["in_proj"], a["out_proj"], n_head,
+            key_padding_mask=key_padding_mask, dropout_p=dropout_p,
+            dropout_rng=dropout_rng, deterministic=deterministic,
+            precision=precision)
+        y = jnp.einsum("btd,de->bte", y, a["wo"], precision=precision)
+    else:
+        # serving-folded params (fold_attention_params): the reference's
+        # double projections collapse into one in_proj and one out_proj
+        y = attn_ops.multi_head_attention(
+            h, h, h, a["in_proj"], a["out_proj"], n_head,
+            key_padding_mask=key_padding_mask, dropout_p=dropout_p,
+            dropout_rng=dropout_rng, deterministic=deterministic,
+            precision=precision)
     h = x + y
 
     c = layer_norm(h, params["conv_norm"]["scale"], params["conv_norm"]["bias"])

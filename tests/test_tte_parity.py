@@ -182,6 +182,28 @@ def test_parrot_infer_unit_exact_bucketed_batch(tmp_path, rng):
         assert got == list(ref), f"sample {i}: unit mismatch"
 
 
+def test_folded_params_same_decode(tmp_path, rng):
+    """Serving fold (qkv@in_proj, out_proj@wo) preserves greedy decode."""
+    from parrot_tts_tpu.models.tte.fold import fold_tte_params
+
+    cfg = small_cfg()
+    model = build_reference_parrot(tmp_path, cfg)
+    params = convert.params_from_torch(model.state_dict(), cfg)
+    folded = fold_tte_params(params)
+
+    phones, durs, speaker = make_sample(rng, cfg, s_len=10)
+    batch = {
+        "phones": jnp.asarray(phones)[None],
+        "src_mask": jnp.ones((1, len(phones)), bool),
+        "speaker": jnp.asarray([speaker]),
+    }
+    c1, m1 = parrot.infer_codes(params, batch, cfg, out_len=64)
+    c2, m2 = parrot.infer_codes(folded, batch, cfg, out_len=64)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(c1)[np.asarray(m1)],
+                                  np.asarray(c2)[np.asarray(m2)])
+
+
 def test_parrot_loss_matches_reference(tmp_path, rng):
     from modules.loss import ModelLoss
 
