@@ -24,7 +24,7 @@ def test_shard_batch_places_batch_axis(rng):
     batch = {"x": rng.standard_normal((16, 5)).astype(np.float32),
              "y": rng.integers(0, 3, size=(16,))}
     out = meshlib.shard_batch(mesh, batch)
-    assert out["x"].sharding.spec == P("data")
+    assert out["x"].sharding.spec == P("data", None)
     # each device holds 2 rows
     assert out["x"].addressable_shards[0].data.shape == (2, 5)
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
