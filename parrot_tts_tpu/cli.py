@@ -41,6 +41,15 @@ def main(argv=None):
     s.add_argument("--data-dir", required=True)
     s.add_argument("--ckpt-dir", required=True)
 
+    s = sub.add_parser("run-aligner-pipeline",
+                       help="preprocess + train + extract for every speaker "
+                            "(the reference's utils/aligner/train.sh loop, "
+                            "without its sed-rewritten YAML)")
+    s.add_argument("--dataset-dir", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--epochs", type=int, default=450)
+    s.add_argument("--batch-size", type=int, default=16)
+
     s = sub.add_parser("ingest-units",
                        help="validate + register a precomputed hubert.txt "
                             "(fairseq HuBERT+kmeans is external; the "
@@ -153,6 +162,30 @@ def _extract_durations(args):
     print(json.dumps(stats))
 
 
+def _run_aligner_pipeline(args):
+    """Loop all speakers through preprocess -> CTC train -> durations
+    (reference utils/aligner/train.sh:13-28)."""
+    from types import SimpleNamespace
+
+    from parrot_tts_tpu.pipeline.aligner_preprocess import (
+        clean_corpus, compute_mels_and_tokens)
+
+    dataset_dir, out_dir = Path(args.dataset_dir), Path(args.out_dir)
+    symbols = clean_corpus(dataset_dir, out_dir)
+    results = {}
+    for spk_dir in sorted(p for p in dataset_dir.iterdir() if p.is_dir()):
+        spk = spk_dir.name
+        spk_out = out_dir / spk
+        compute_mels_and_tokens(spk_dir, spk_out, symbols)
+        _train_aligner(SimpleNamespace(
+            data_dir=str(spk_out), epochs=args.epochs,
+            batch_size=args.batch_size))
+        _extract_durations(SimpleNamespace(
+            data_dir=str(spk_out), ckpt_dir=str(spk_out / "ckpt")))
+        results[spk] = "ok"
+    print(json.dumps(results))
+
+
 def _ingest_units(args):
     from parrot_tts_tpu.data.manifest import read_manifest, write_manifest
 
@@ -252,6 +285,7 @@ def _synthesize(args):
 
 DISPATCH = {
     "preprocess-text": _preprocess_text,
+    "run-aligner-pipeline": _run_aligner_pipeline,
     "preprocess-aligner": _preprocess_aligner,
     "train-aligner": _train_aligner,
     "extract-durations": _extract_durations,

@@ -1,0 +1,118 @@
+"""Joint TTE + vocoder serving from the compiled graphs.
+
+BASELINE config 5: batched text -> waveform synthesis where the TTE greedy
+decode and the vocoder generator run as bucketed jit graphs compiled once
+and reused across requests — the TPU replacement for the reference's demo
+notebook loop + 8-process vocoder pool. Folded (inference) parameters for
+both stages.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+
+from parrot_tts_tpu.core.config import TTEModelConfig, VocoderModelConfig
+from parrot_tts_tpu.data.tte_data import pick_bucket
+from parrot_tts_tpu.infer.synthesize import VocoderSynthesizer
+from parrot_tts_tpu.models.tte import parrot
+from parrot_tts_tpu.models.tte.fold import fold_tte_params
+from parrot_tts_tpu.text.tokenizer import DFATokenizer
+
+SRC_BUCKETS = (64, 128, 256, 512)
+
+
+class ParrotTTS:
+    """End-to-end synthesizer. Construct once; `tts()` serves batches."""
+
+    def __init__(
+        self,
+        tte_params,
+        tte_cfg: TTEModelConfig,
+        vocoder_params,
+        vocoder_cfg: VocoderModelConfig,
+        tokenizer: DFATokenizer,
+        cleaner: Callable[[str], str],
+        *,
+        fold: bool = True,
+        src_buckets: tuple[int, ...] = SRC_BUCKETS,
+        out_len_per_token: int = 16,
+    ):
+        import jax
+
+        self.tte_cfg = tte_cfg
+        self.tokenizer = tokenizer
+        self.cleaner = cleaner
+        self.src_buckets = src_buckets
+        self.out_len_per_token = out_len_per_token
+        self.tte_params = fold_tte_params(tte_params) if fold else tte_params
+        self.vocoder = VocoderSynthesizer(vocoder_params, vocoder_cfg,
+                                          fold=fold)
+        self._infer = jax.jit(parrot.infer_codes,
+                              static_argnames=("cfg", "out_len"))
+        self.last_stats: dict = {}
+
+    def tokenize(self, text: str) -> np.ndarray:
+        cleaned = self.cleaner(text)
+        symbols = ["sil" if ch == " " else ch for ch in cleaned]
+        ids = [self.tokenizer.stoi[s] for s in symbols
+               if s in self.tokenizer.stoi]
+        return np.asarray(ids, np.int32)
+
+    def predict_units(self, token_seqs: Sequence[np.ndarray],
+                      speakers: Sequence[int]) -> list[np.ndarray]:
+        import jax.numpy as jnp
+
+        results: list[np.ndarray | None] = [None] * len(token_seqs)
+        by_bucket: dict[int, list[int]] = {}
+        for i, seq in enumerate(token_seqs):
+            by_bucket.setdefault(
+                pick_bucket(self.src_buckets, len(seq)), []).append(i)
+
+        for s_len, idxs in sorted(by_bucket.items()):
+            out_len = min(
+                -(-s_len * self.out_len_per_token // 128) * 128,
+                -(-self.tte_cfg.max_len // 128) * 128)
+            b = len(idxs)
+            phones = np.zeros((b, s_len), np.int32)
+            mask = np.zeros((b, s_len), bool)
+            spk = np.zeros((b,), np.int32)
+            for j, gi in enumerate(idxs):
+                seq = token_seqs[gi][:s_len]
+                phones[j, : len(seq)] = seq
+                mask[j, : len(seq)] = True
+                spk[j] = speakers[gi]
+            batch = {"phones": jnp.asarray(phones),
+                     "src_mask": jnp.asarray(mask),
+                     "speaker": jnp.asarray(spk)}
+            codes, cmask = self._infer(self.tte_params, batch,
+                                       cfg=self.tte_cfg, out_len=out_len)
+            codes, cmask = np.asarray(codes), np.asarray(cmask)
+            for j, gi in enumerate(idxs):
+                results[gi] = codes[j][cmask[j]].astype(np.int32)
+        return results  # type: ignore[return-value]
+
+    def tts(self, texts: Sequence[str],
+            speakers: Sequence[int] | None = None,
+            vocoder_speakers: Sequence[int] | None = None) -> list[np.ndarray]:
+        """Batched text -> float32 waveforms. Records throughput stats
+        (audio-seconds/s, RTF) in `last_stats`."""
+        n = len(texts)
+        speakers = list(speakers) if speakers is not None else [0] * n
+        vocoder_speakers = (list(vocoder_speakers)
+                            if vocoder_speakers is not None else speakers)
+        t0 = time.perf_counter()
+        tokens = [self.tokenize(t) for t in texts]
+        units = self.predict_units(tokens, speakers)
+        wavs = self.vocoder.synthesize(units, vocoder_speakers)
+        dt = time.perf_counter() - t0
+        audio_s = sum(len(w) for w in wavs) / self.vocoder.sample_rate
+        self.last_stats = {
+            "wall_s": dt,
+            "audio_seconds": audio_s,
+            "audio_seconds_per_second": audio_s / dt if dt else 0.0,
+            "rtf": dt / audio_s if audio_s else None,
+        }
+        return wavs
