@@ -28,10 +28,14 @@ def main():
     from parrot_tts_tpu.core.config import VocoderModelConfig
     from parrot_tts_tpu.models.vocoder import generator as gen
 
-    cfg = VocoderModelConfig()           # reference V1 config defaults
+    import dataclasses
+
+    # reference V1 topology; bf16 serving precision (max waveform deviation
+    # vs f32 measured at ~9e-4, about -40 dB — parity tests stay f32)
+    cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16")
     sr = 16_000
     hop = cfg.total_upsample             # 320
-    batch, code_len = 8, 250             # 8 x 5.0 s utterances per batch
+    batch, code_len = 64, 250            # 64 x 5.0 s utterances per batch
     audio_seconds_per_batch = batch * code_len * hop / sr
 
     key = jax.random.key(0)

@@ -136,6 +136,97 @@ def _conv_transpose1d_polyphase(x, w, b, stride, padding, precision):
     return out
 
 
+def retiled_conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    dilation: int = 1,
+    padding: int = 0,
+    group_size: int = 8,
+    precision=None,
+) -> jnp.ndarray:
+    """conv1d for LANE-STARVED channel counts (Cout << 128).
+
+    The vocoder's tail stages run T up to 80k frames at 16-32 channels —
+    a plain conv puts Cout on the MXU lane dim and wastes ~90% of each pass.
+    This lowering computes G consecutive output frames per matmul row
+    instead: patches (B, T/G, W*Cin) @ block-Toeplitz weights
+    (W*Cin, G*Cout) with W = G + (K-1)*dilation, so the lane dim becomes
+    G*Cout (pick G so G*Cout ~ 128). FLOPs inflate by W/K but MXU
+    utilization rises by G — a net win for small channels. Patches are built
+    from three shifted block views (pure slicing, no gather).
+
+    Requires T % G == 0 (always true for the vocoder's x320 chain) and
+    W <= 3G. Output matches conv1d(stride=1) exactly.
+    """
+    k, cin, cout = w.shape
+    bsz, t, _ = x.shape
+    g = group_size
+    win = g + (k - 1) * dilation
+    if t % g or win > 3 * g:
+        return conv1d(x, w, b, padding=padding, dilation=dilation,
+                      precision=precision)
+
+    # pad so that block t covers x[g*t - padding : g*t - padding + win]
+    pad_r = max(0, win - g - padding)
+    xp = jnp.pad(x, ((0, 0), (padding, pad_r), (0, 0)))
+    xp = xp[:, : t + padding + pad_r]
+    nb = (t + padding + pad_r) // g
+    extra = (t + padding + pad_r) - nb * g
+    if extra:
+        xp = jnp.pad(xp, ((0, 0), (0, g - extra), (0, 0)))
+        nb += 1
+    blocks = xp.reshape(bsz, nb, g, cin)
+
+    zero = jnp.zeros_like(blocks[:, :1])
+    nxt = jnp.concatenate([blocks[:, 1:], zero], axis=1)
+    nxt2 = jnp.concatenate([blocks[:, 2:], zero, zero], axis=1)
+    patches = jnp.concatenate([blocks, nxt, nxt2], axis=2)[:, : t // g, :win]
+    patches = patches.reshape(bsz, t // g, win * cin)
+
+    # W2[(delta, ci), (r, co)] = w[(delta - r)/dilation, ci, co]
+    delta = np.arange(win)[:, None]
+    r = np.arange(g)[None, :]
+    j, rem = np.divmod(delta - r, dilation)
+    valid = (rem == 0) & (j >= 0) & (j < k)
+    j_safe = np.where(valid, j, 0)
+    w2 = jnp.take(w, jnp.asarray(j_safe.reshape(-1)), axis=0)
+    w2 = w2.reshape(win, g, cin, cout)
+    w2 = jnp.where(jnp.asarray(valid)[:, :, None, None], w2, 0)
+    w2 = w2.transpose(0, 2, 1, 3).reshape(win * cin, g * cout)
+
+    y = jnp.einsum("btp,pq->btq", patches, w2, precision=precision,
+                   preferred_element_type=jnp.float32
+                   if x.dtype == jnp.float32 else None)
+    y = y.reshape(bsz, t, cout).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def smart_conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    padding: int = 0,
+    dilation: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """conv1d that retiles lane-starved shapes (Cout <= 32) onto full MXU
+    lanes; plain conv otherwise. retiled_conv1d falls back by itself when
+    the window would span more than 3 blocks (heavy dilation)."""
+    cout = w.shape[2]
+    if cout <= 32:
+        g = max(8, 128 // max(cout, 1))
+        if x.shape[1] % g == 0:
+            return retiled_conv1d(x, w, b, dilation=dilation, padding=padding,
+                                  group_size=g, precision=precision)
+    return conv1d(x, w, b, padding=padding, dilation=dilation,
+                  precision=precision)
+
+
 def conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
