@@ -76,15 +76,15 @@ def apply_resblock1(p: dict, x: jnp.ndarray, kernel_size: int,
     with leaky relus and residual adds."""
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        xt = conv_ops.smart_conv1d(xt, _kernel(c1, WN_AXES_CONV1D, dtype),
-                                   c1["b"].astype(x.dtype),
-                                   padding=conv_ops.get_padding(kernel_size, d),
-                                   dilation=d, precision=precision)
+        xt = conv_ops.conv1d(xt, _kernel(c1, WN_AXES_CONV1D, dtype),
+                             c1["b"].astype(x.dtype),
+                             padding=conv_ops.get_padding(kernel_size, d),
+                             dilation=d, precision=precision)
         xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-        xt = conv_ops.smart_conv1d(xt, _kernel(c2, WN_AXES_CONV1D, dtype),
-                                   c2["b"].astype(x.dtype),
-                                   padding=conv_ops.get_padding(kernel_size, 1),
-                                   precision=precision)
+        xt = conv_ops.conv1d(xt, _kernel(c2, WN_AXES_CONV1D, dtype),
+                             c2["b"].astype(x.dtype),
+                             padding=conv_ops.get_padding(kernel_size, 1),
+                             precision=precision)
         x = xt + x
     return x
 
@@ -104,10 +104,10 @@ def apply_resblock2(p: dict, x: jnp.ndarray, kernel_size: int,
     """ResBlock2 (reference models.py:47-66)."""
     for c, d in zip(p["convs"], dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        xt = conv_ops.smart_conv1d(xt, _kernel(c, WN_AXES_CONV1D, dtype),
-                                   c["b"].astype(x.dtype),
-                                   padding=conv_ops.get_padding(kernel_size, d),
-                                   dilation=d, precision=precision)
+        xt = conv_ops.conv1d(xt, _kernel(c, WN_AXES_CONV1D, dtype),
+                             c["b"].astype(x.dtype),
+                             padding=conv_ops.get_padding(kernel_size, d),
+                             dilation=d, precision=precision)
         x = xt + x
     return x
 
@@ -165,7 +165,7 @@ def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
         x = acc / nk
     # final leaky uses torch's DEFAULT slope 0.01 (reference models.py:107)
     x = jax.nn.leaky_relu(x, 0.01)
-    x = conv_ops.smart_conv1d(
+    x = conv_ops.conv1d(
         x, _kernel(params["conv_post"], WN_AXES_CONV1D, dtype),
         params["conv_post"]["b"].astype(dtype), padding=3,
         precision=precision)

@@ -78,6 +78,36 @@ def test_conv2d_matches_torch(rng):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("k,d,g,cin,cout,t", [
+    (3, 1, 8, 16, 16, 64),     # MRF plain conv, C=16 tail
+    (7, 3, 8, 16, 16, 64),     # dilated within 3-block window
+    (11, 1, 8, 16, 16, 128),
+    (3, 1, 4, 32, 32, 64),
+    (7, 1, 128, 16, 1, 1280),  # conv_post: Cout=1
+    (11, 5, 8, 16, 16, 640),   # window > 3 blocks -> internal fallback
+])
+def test_retiled_conv1d_matches_torch(rng, k, d, g, cin, cout, t):
+    pad = (k * d - d) // 2
+    x = rng.standard_normal((2, t, cin)).astype(np.float32)
+    w_t = rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    want = F.conv1d(torch.from_numpy(x).transpose(1, 2),
+                    torch.from_numpy(w_t), torch.from_numpy(bias),
+                    padding=pad, dilation=d).transpose(1, 2).numpy()
+    got = convlib.retiled_conv1d(
+        jnp.asarray(x), jnp.asarray(convlib.from_torch_conv1d(w_t)),
+        jnp.asarray(bias), dilation=d, padding=pad, group_size=g)
+    np.testing.assert_allclose(_np(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_smart_conv1d_dispatch(rng):
+    x = rng.standard_normal((1, 64, 16)).astype(np.float32)
+    w = rng.standard_normal((3, 16, 16)).astype(np.float32) * 0.1
+    a = convlib.smart_conv1d(jnp.asarray(x), jnp.asarray(w), padding=1)
+    b = convlib.conv1d(jnp.asarray(x), jnp.asarray(w), padding=1)
+    np.testing.assert_allclose(_np(a), _np(b), atol=1e-5)
+
+
 def test_avg_pool1d_matches_torch(rng):
     # MSD pyramid AvgPool1d(4, 2, padding=2) (models.py:258)
     x = rng.standard_normal((2, 50, 3)).astype(np.float32)
