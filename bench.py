@@ -80,4 +80,12 @@ if __name__ == "__main__":
     import warnings
 
     warnings.filterwarnings("ignore")
-    main()
+    try:
+        main()
+    except Exception as e:  # degraded but parseable record
+        print(json.dumps({
+            "metric": "vocoder_synth_audio_seconds_per_second_per_chip",
+            "value": 0.0, "unit": "audio-s/s/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:200],
+        }))
+        sys.exit(0)
