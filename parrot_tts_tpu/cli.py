@@ -50,6 +50,23 @@ def main(argv=None):
     s.add_argument("--epochs", type=int, default=450)
     s.add_argument("--batch-size", type=int, default=16)
 
+    s = sub.add_parser("extract-units",
+                       help="HuBERT unit extraction on TPU: walks "
+                            "<dataset-dir>/<speaker>/wavs/*.wav, writes "
+                            "hubert.txt (reference utils/hubert_extraction/"
+                            "extractor.py, batched here)")
+    s.add_argument("--ckpt", required=True,
+                   help="HuBERT weights: HF pytorch_model.bin/.safetensors "
+                        "or a fairseq checkpoint .pt")
+    s.add_argument("--kmeans", required=True,
+                   help="k-means codebook: joblib .bin or .npy centers")
+    s.add_argument("--dataset-dir", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--layer", type=int, default=11)
+    s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--normalize", action="store_true",
+                   help="wav-level layer norm (large-style checkpoints)")
+
     s = sub.add_parser("ingest-units",
                        help="validate + register a precomputed hubert.txt "
                             "(fairseq HuBERT+kmeans is external; the "
@@ -186,6 +203,24 @@ def _run_aligner_pipeline(args):
     print(json.dumps(results))
 
 
+def _extract_units(args):
+    import dataclasses
+
+    from parrot_tts_tpu.infer.unit_extractor import UnitExtractor
+    from parrot_tts_tpu.models.hubert.convert import (
+        load_hubert, load_kmeans_centers)
+    from parrot_tts_tpu.pipeline.extract_units import extract_units_corpus
+
+    params, cfg = load_hubert(args.ckpt)
+    cfg = dataclasses.replace(cfg, output_layer=args.layer,
+                              normalize_input=args.normalize)
+    extractor = UnitExtractor(params, cfg, load_kmeans_centers(args.kmeans),
+                              batch_size=args.batch_size)
+    entries = extract_units_corpus(extractor, args.dataset_dir, args.out_dir)
+    print(json.dumps({"wavs": len(entries),
+                      "out": str(Path(args.out_dir) / "hubert.txt")}))
+
+
 def _ingest_units(args):
     from parrot_tts_tpu.data.manifest import read_manifest, write_manifest
 
@@ -289,6 +324,7 @@ DISPATCH = {
     "preprocess-aligner": _preprocess_aligner,
     "train-aligner": _train_aligner,
     "extract-durations": _extract_durations,
+    "extract-units": _extract_units,
     "ingest-units": _ingest_units,
     "prepare-tte": _prepare_tte,
     "train-tte": _train_tte,

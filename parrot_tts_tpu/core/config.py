@@ -205,6 +205,64 @@ class VocoderTrainConfig:
 
 
 # ---------------------------------------------------------------------------
+# HuBERT unit extraction — reference: utils/hubert_extraction/
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HubertConfig:
+    """HuBERT encoder for on-TPU unit extraction.
+
+    The reference shells out to fairseq mHuBERT base
+    (`/root/reference/utils/hubert_extraction/hubert_api.py:16-31`,
+    layer-11 features + joblib k-means 1000, `extractor.py:12-13`). Defaults
+    here are the base topology that checkpoint uses (identical to HF
+    `HubertModel` base: 7-layer conv frontend, 12-layer post-LN transformer).
+    """
+
+    # conv feature extractor (wav 16 kHz -> 50 Hz frames, hop 320)
+    conv_dim: tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    # "group": GroupNorm(C, C) after conv 0 only (base); "layer": per-conv
+    # channel LayerNorm (large-style extractors)
+    feat_extract_norm: str = "group"
+    # transformer encoder (post-LN, HF do_stable_layer_norm=False)
+    d_model: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    ffn_dim: int = 3072
+    layer_norm_eps: float = 1e-5
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    # task.cfg.normalize — wav-level layer norm (False for base checkpoints,
+    # hubert_api.py:55-56 gates on it)
+    normalize_input: bool = False
+    sample_rate: int = 16_000
+    # extraction defaults (extractor.py:12, hubert_api.py:17)
+    output_layer: int = 11
+    max_chunk: int = 1_600_000
+    n_units: int = 1000
+    dtype: str = "float32"
+
+    @property
+    def frame_hop(self) -> int:
+        r = 1
+        for s in self.conv_stride:
+            r *= s
+        return r  # 320 samples per frame
+
+    @property
+    def receptive_field(self) -> int:
+        rf, hop = 1, 1
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            rf += (k - 1) * hop
+            hop *= s
+        return rf  # 400 samples
+
+
+# ---------------------------------------------------------------------------
 # Aligner stage — reference: utils/aligner/aligner_train_config.yaml
 # ---------------------------------------------------------------------------
 

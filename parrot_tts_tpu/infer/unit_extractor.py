@@ -1,0 +1,132 @@
+"""Batched TPU HuBERT unit extraction.
+
+Replaces the reference's one-wav-at-a-time CPU loop
+(`/root/reference/utils/hubert_extraction/extractor.py:56-81`,
+`hubert_api.py:49-68`) with length-bucketed batches on device: encoder
+forward + k-means argmin compile once per bucket; codes stream back to host.
+Outputs are exactly the reference's (per-utterance) results: the encoder is
+masked so padding never leaks into valid frames (models/hubert/model.py).
+
+Very long wavs use the reference's chunking rule verbatim: slices of
+`max_chunk` samples encoded independently and concatenated
+(hubert_api.py:60-69) — k-means is per-frame, so predicting per chunk equals
+predicting on concatenated features.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tts_tpu.core.config import HubertConfig
+from parrot_tts_tpu.models.hubert import model as hubert_model
+
+
+def _default_buckets(cfg: HubertConfig) -> tuple[int, ...]:
+    # 1..40 s in 2.56 s (128-frame) steps, hop 320: static shapes with
+    # <= 2.56 s padding waste, MXU-aligned frame counts
+    step = 128 * cfg.frame_hop
+    return tuple(step * i for i in range(1, 16)) + (cfg.max_chunk,)
+
+
+class UnitExtractor:
+    """wav -> HuBERT codes, batched per length bucket.
+
+    API mirrors the reference `HubertInference`
+    (extractor.py:10-23: `get_codes_from_path`, `get_codes`).
+    """
+
+    def __init__(self, params: dict, cfg: HubertConfig,
+                 km_centers: np.ndarray, *, output_layer: int | None = None,
+                 buckets: Sequence[int] | None = None, batch_size: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.output_layer = (cfg.output_layer if output_layer is None
+                             else output_layer)
+        if not 1 <= self.output_layer <= cfg.n_layer:
+            raise ValueError(f"output_layer {self.output_layer} not in "
+                             f"[1, {cfg.n_layer}]")
+        self.centers = jnp.asarray(km_centers, jnp.float32)
+        self.buckets = tuple(sorted(buckets or _default_buckets(cfg)))
+        self.batch_size = batch_size
+
+    @functools.lru_cache(maxsize=None)
+    def _compiled(self, bucket_len: int):
+        cfg, layer = self.cfg, self.output_layer
+
+        @jax.jit
+        def run(params, centers, wav, n_samples):
+            # full-f32 matmuls: extraction is offline and the codes feed TTE
+            # training as labels — default TPU matmul precision perturbs
+            # features enough to flip nearest-centroid argmin on near-ties
+            with jax.default_matmul_precision("highest"):
+                feats, n_frames = hubert_model.apply_hubert(
+                    params, wav, n_samples, cfg, output_layer=layer)
+                codes = hubert_model.kmeans_predict(feats, centers)
+            return codes, n_frames
+
+        return run
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _codes_batch(self, wavs: Sequence[np.ndarray]) -> list[np.ndarray]:
+        """One device call for wavs sharing a bucket."""
+        lens = np.array([len(w) for w in wavs], np.int32)
+        bucket = self._bucket(int(lens.max()))
+        batch = np.zeros((len(wavs), bucket), np.float32)
+        for i, w in enumerate(wavs):
+            batch[i, : len(w)] = w
+        codes, n_frames = self._compiled(bucket)(
+            self.params, self.centers, jnp.asarray(batch), jnp.asarray(lens))
+        codes = np.asarray(codes)
+        n_frames = np.asarray(n_frames)
+        return [codes[i, : n_frames[i]] for i in range(len(wavs))]
+
+    def get_codes(self, wav: np.ndarray) -> np.ndarray:
+        """Codes for one wav, chunked at max_chunk like the reference."""
+        wav = np.asarray(wav, np.float32)
+        chunks = [wav[s: s + self.cfg.max_chunk]
+                  for s in range(0, max(len(wav), 1), self.cfg.max_chunk)]
+        outs = [self._codes_batch([c])[0] for c in chunks]
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def get_codes_from_path(self, wav_path: str | Path) -> np.ndarray:
+        from parrot_tts_tpu.data.audio_io import read_wav
+
+        wav, sr = read_wav(wav_path)
+        if sr != self.cfg.sample_rate:
+            raise ValueError(
+                f"{wav_path}: sample rate {sr} != {self.cfg.sample_rate} "
+                "(the reference resamples via librosa; resample offline)")
+        return self.get_codes(wav)
+
+    def codes_for_wavs(self, wavs: Iterable[np.ndarray]) -> list[np.ndarray]:
+        """Batched: group by bucket, preserve order."""
+        wavs = [np.asarray(w, np.float32) for w in wavs]
+        order: dict[int, list[int]] = {}
+        for i, w in enumerate(wavs):
+            if len(w) > self.cfg.max_chunk:
+                order.setdefault(-1, []).append(i)   # chunked path, solo
+            else:
+                order.setdefault(self._bucket(len(w)), []).append(i)
+        out: list[np.ndarray | None] = [None] * len(wavs)
+        for bucket, idxs in order.items():
+            if bucket == -1:
+                for i in idxs:
+                    out[i] = self.get_codes(wavs[i])
+                continue
+            for s in range(0, len(idxs), self.batch_size):
+                grp = idxs[s: s + self.batch_size]
+                for i, c in zip(grp, self._codes_batch([wavs[i] for i in grp])):
+                    out[i] = c
+        return out  # type: ignore[return-value]
