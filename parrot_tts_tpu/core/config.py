@@ -158,6 +158,10 @@ class VocoderModelConfig:
     multispkr: str | None = "_"
     num_speakers: int = 10           # reference hardcodes nn.Embedding(10, ...) models.py:130
     dtype: str = "float32"
+    # run tail stages (C < 128) in the space-to-depth folded layout so every
+    # conv keeps full MXU lanes (ops/folded.py); numerically equivalent up
+    # to fp reassociation
+    fold_tail: bool = True
 
     @property
     def total_upsample(self) -> int:

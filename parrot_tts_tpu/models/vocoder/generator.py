@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from parrot_tts_tpu.core.config import VocoderModelConfig
 from parrot_tts_tpu.ops import conv as conv_ops
+from parrot_tts_tpu.ops import folded as folded_ops
 from parrot_tts_tpu.ops import init as init_ops
 from parrot_tts_tpu.ops.weight_norm import (
     WN_AXES_CONV1D,
@@ -69,22 +70,32 @@ def init_resblock1(key, channels: int, kernel_size: int,
     }
 
 
+def _conv(x, w, b, *, padding, dilation=1, g=1, precision=None):
+    """Dispatch: plain channels-last conv, or the folded-layout equivalent
+    when the activations are g-folded (ops/folded.py)."""
+    if g == 1:
+        return conv_ops.conv1d(x, w, b, padding=padding, dilation=dilation,
+                               precision=precision)
+    return folded_ops.folded_conv1d(x, w, b, g=g, padding=padding,
+                                    dilation=dilation, precision=precision)
+
+
 def apply_resblock1(p: dict, x: jnp.ndarray, kernel_size: int,
                     dilations: tuple[int, ...], precision=None,
-                    dtype=None) -> jnp.ndarray:
+                    dtype=None, g: int = 1) -> jnp.ndarray:
     """ResBlock1 (reference models.py:13-44): pairs of (dilated, plain) convs
     with leaky relus and residual adds."""
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        xt = conv_ops.conv1d(xt, _kernel(c1, WN_AXES_CONV1D, dtype),
-                             c1["b"].astype(x.dtype),
-                             padding=conv_ops.get_padding(kernel_size, d),
-                             dilation=d, precision=precision)
+        xt = _conv(xt, _kernel(c1, WN_AXES_CONV1D, dtype),
+                   c1["b"].astype(x.dtype),
+                   padding=conv_ops.get_padding(kernel_size, d),
+                   dilation=d, g=g, precision=precision)
         xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-        xt = conv_ops.conv1d(xt, _kernel(c2, WN_AXES_CONV1D, dtype),
-                             c2["b"].astype(x.dtype),
-                             padding=conv_ops.get_padding(kernel_size, 1),
-                             precision=precision)
+        xt = _conv(xt, _kernel(c2, WN_AXES_CONV1D, dtype),
+                   c2["b"].astype(x.dtype),
+                   padding=conv_ops.get_padding(kernel_size, 1),
+                   g=g, precision=precision)
         x = xt + x
     return x
 
@@ -100,14 +111,14 @@ def init_resblock2(key, channels: int, kernel_size: int,
 
 def apply_resblock2(p: dict, x: jnp.ndarray, kernel_size: int,
                     dilations: tuple[int, ...], precision=None,
-                    dtype=None) -> jnp.ndarray:
+                    dtype=None, g: int = 1) -> jnp.ndarray:
     """ResBlock2 (reference models.py:47-66)."""
     for c, d in zip(p["convs"], dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        xt = conv_ops.conv1d(xt, _kernel(c, WN_AXES_CONV1D, dtype),
-                             c["b"].astype(x.dtype),
-                             padding=conv_ops.get_padding(kernel_size, d),
-                             dilation=d, precision=precision)
+        xt = _conv(xt, _kernel(c, WN_AXES_CONV1D, dtype),
+                   c["b"].astype(x.dtype),
+                   padding=conv_ops.get_padding(kernel_size, d),
+                   dilation=d, g=g, precision=precision)
         x = xt + x
     return x
 
@@ -138,9 +149,17 @@ def init_generator(key, cfg: VocoderModelConfig) -> dict:
 
 
 def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
-                    precision=None) -> jnp.ndarray:
+                    precision=None, lane_target: int = 128) -> jnp.ndarray:
     """Generator forward (reference models.py:96-111). x: (B, T, model_in_dim)
-    -> waveform (B, T*320, 1)."""
+    -> waveform (B, T*320, 1).
+
+    When cfg.fold_tail is set, the lane-starved tail stages (C < lane_target)
+    run in a space-to-depth folded layout (ops/folded.py) so every conv keeps
+    the MXU full: the first sub-128-channel stage folds right after its
+    (plain) upsample, and each later transposed conv grows the fold factor by
+    its stride without ever leaving the folded layout. Numerically the same
+    network up to fp reassociation.
+    """
     nk = len(cfg.resblock_kernel_sizes)
     apply_rb = apply_resblock1 if cfg.resblock == "1" else apply_resblock2
     dtype = jnp.dtype(cfg.dtype)
@@ -149,26 +168,40 @@ def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
     x = conv_ops.conv1d(x, _kernel(params["conv_pre"], WN_AXES_CONV1D, dtype),
                         params["conv_pre"]["b"].astype(dtype), padding=3,
                         precision=precision)
+    g = 1
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cout = cfg.upsample_initial_channel // (2 ** (i + 1))
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         up = params["ups"][i]
-        x = conv_ops.conv_transpose1d(
-            x, _kernel(up, WN_AXES_CONV_T1D, dtype), up["b"].astype(dtype),
-            stride=u, padding=(k - u) // 2, precision=precision)
+        if g > 1:
+            x = folded_ops.folded_conv_transpose1d(
+                x, _kernel(up, WN_AXES_CONV_T1D, dtype),
+                up["b"].astype(dtype), g_in=g, stride=u,
+                padding=(k - u) // 2, precision=precision)
+            g *= u
+        else:
+            x = conv_ops.conv_transpose1d(
+                x, _kernel(up, WN_AXES_CONV_T1D, dtype), up["b"].astype(dtype),
+                stride=u, padding=(k - u) // 2, precision=precision)
+            want = max(1, lane_target // cout) if cfg.fold_tail else 1
+            if want > 1 and x.shape[1] % want == 0:
+                x = folded_ops.fold(x, want)       # free reshape
+                g = want
         acc = None
         for j in range(nk):
             rb = params["resblocks"][i * nk + j]
             y = apply_rb(rb, x, cfg.resblock_kernel_sizes[j],
                          cfg.resblock_dilation_sizes[j], precision=precision,
-                         dtype=dtype)
+                         dtype=dtype, g=g)
             acc = y if acc is None else acc + y
         x = acc / nk
     # final leaky uses torch's DEFAULT slope 0.01 (reference models.py:107)
     x = jax.nn.leaky_relu(x, 0.01)
-    x = conv_ops.conv1d(
-        x, _kernel(params["conv_post"], WN_AXES_CONV1D, dtype),
-        params["conv_post"]["b"].astype(dtype), padding=3,
-        precision=precision)
+    x = _conv(x, _kernel(params["conv_post"], WN_AXES_CONV1D, dtype),
+              params["conv_post"]["b"].astype(dtype), padding=3, g=g,
+              precision=precision)
+    if g > 1:
+        x = folded_ops.unfold(x, g)                # free reshape
     return jnp.tanh(x).astype(jnp.float32)
 
 

@@ -104,7 +104,11 @@ def _polyphase_plan(k: int, u: int, pad: int):
     return j0, m_taps, s, pad_left, q_len
 
 
-def _conv_transpose1d_polyphase(x, w, b, stride, padding, precision):
+def polyphase_weights(w, stride, padding):
+    """Pack a transposed-conv kernel (K, Cin, Cout) into the equivalent
+    stride-1 conv kernel (q_len, Cin, stride*Cout) emitting phase-major
+    channels, plus its left pad. Used by both the polyphase lowering below
+    and the folded-tail algebra (`ops/folded.py`)."""
     k, cin, cout = w.shape
     u = stride
     j0, m_taps, s, pad_left, q_len = _polyphase_plan(k, u, padding)
@@ -120,6 +124,13 @@ def _conv_transpose1d_polyphase(x, w, b, stride, padding, precision):
     w2 = w2.reshape(q_len, u, cin, cout)
     w2 = jnp.where(jnp.asarray(valid)[:, :, None, None], w2, 0)
     w2 = w2.transpose(0, 2, 1, 3).reshape(q_len, cin, u * cout)
+    return w2, pad_left, q_len
+
+
+def _conv_transpose1d_polyphase(x, w, b, stride, padding, precision):
+    k, cin, cout = w.shape
+    u = stride
+    w2, pad_left, q_len = polyphase_weights(w, u, padding)
 
     y = jax.lax.conv_general_dilated(
         x, w2.astype(w.dtype),

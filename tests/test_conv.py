@@ -182,3 +182,88 @@ def test_spectral_norm_matches_torch(rng):
     theirs = conv_sn.weight.detach().numpy()
     np.testing.assert_allclose(_np(ours), convlib.from_torch_conv1d(theirs),
                                atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Folded (space-to-depth) tail algebra — ops/folded.py
+# ---------------------------------------------------------------------------
+
+from parrot_tts_tpu.ops import folded as foldedlib  # noqa: E402
+
+
+def test_fold_unfold_roundtrip(rng):
+    x = rng.standard_normal((2, 24, 5)).astype(np.float32)
+    xf = foldedlib.fold(jnp.asarray(x), 4)
+    assert xf.shape == (2, 6, 20)
+    # fold is the row-major identity: memory layout unchanged
+    np.testing.assert_array_equal(_np(xf).reshape(-1), x.reshape(-1))
+    np.testing.assert_array_equal(_np(foldedlib.unfold(xf, 4)), x)
+
+
+@pytest.mark.parametrize("k,d,g", [
+    # every MRF (kernel, dilation) of the reference V1 topology
+    # (models.py resblock_kernel_sizes 3/7/11 x dilations 1/3/5) at the
+    # tail fold factors g=4 (C=32) and g=8 (C=16), plus conv_post k=7
+    (3, 1, 4), (3, 3, 4), (3, 5, 4),
+    (7, 1, 4), (7, 3, 4), (7, 5, 4),
+    (11, 1, 4), (11, 3, 4), (11, 5, 4),
+    (3, 1, 8), (3, 5, 8), (7, 3, 8), (11, 5, 8),
+    (7, 1, 2), (5, 2, 4),
+])
+def test_folded_conv1d_matches_plain(rng, k, d, g):
+    b, t, ci, co = 2, 160, 16, 16
+    pad = convlib.get_padding(k, d)
+    x = rng.standard_normal((b, t, ci)).astype(np.float32)
+    w = rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((co,)).astype(np.float32)
+
+    plain = convlib.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+                           padding=pad, dilation=d)
+    xf = foldedlib.fold(jnp.asarray(x), g)
+    yf = foldedlib.folded_conv1d(xf, jnp.asarray(w), jnp.asarray(bias),
+                                 g=g, padding=pad, dilation=d)
+    np.testing.assert_allclose(_np(foldedlib.unfold(yf, g)), _np(plain),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,u,g_in", [(4, 2, 2), (4, 2, 4), (8, 4, 2),
+                                      (16, 8, 2)])
+def test_folded_conv_transpose1d_matches_plain(rng, k, u, g_in):
+    b, t, ci, co = 2, 48, 8, 8
+    pad = (k - u) // 2
+    x = rng.standard_normal((b, t, ci)).astype(np.float32)
+    w = rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((co,)).astype(np.float32)
+
+    plain = convlib.conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
+                                     jnp.asarray(bias), stride=u, padding=pad)
+    xf = foldedlib.fold(jnp.asarray(x), g_in)
+    yf = foldedlib.folded_conv_transpose1d(xf, jnp.asarray(w),
+                                           jnp.asarray(bias), g_in=g_in,
+                                           stride=u, padding=pad)
+    assert yf.shape == (b, t // g_in, g_in * u * co)
+    np.testing.assert_allclose(_np(foldedlib.unfold(yf, g_in * u)),
+                               _np(plain), atol=1e-4, rtol=1e-4)
+
+
+def test_generator_folded_tail_matches_unfolded(rng):
+    """Full-topology generator: fold_tail on vs off must agree to fp
+    tolerance (the folded path computes the same convs on full MXU lanes)."""
+    import dataclasses
+
+    import jax
+
+    from parrot_tts_tpu.core.config import VocoderModelConfig
+    from parrot_tts_tpu.models.vocoder import generator as gen
+
+    cfg_on = dataclasses.replace(VocoderModelConfig(), fold_tail=True)
+    cfg_off = dataclasses.replace(VocoderModelConfig(), fold_tail=False)
+    params = gen.init_code_generator(jax.random.key(0), cfg_on)
+    code = jnp.asarray(rng.integers(0, cfg_on.num_embeddings,
+                                    size=(2, 6)).astype(np.int32))
+    spkr = jnp.asarray(np.array([1, 3], np.int32))
+
+    y_on = gen.apply_code_generator(params, code, spkr, cfg_on)
+    y_off = gen.apply_code_generator(params, code, spkr, cfg_off)
+    assert y_on.shape == y_off.shape == (2, 6 * 320, 1)
+    np.testing.assert_allclose(_np(y_on), _np(y_off), atol=2e-5, rtol=1e-4)
