@@ -112,6 +112,11 @@ class BucketedLoader:
                  seed: int = 42, shuffle: bool = True,
                  drop_last: bool = False,
                  process_index: int = 0, process_count: int = 1):
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size={batch_size} must be divisible by "
+                f"process_count={process_count} (each host takes an equal "
+                f"slice of every global batch)")
         self.ds = dataset
         self.batch_size = batch_size
         self.src_buckets = src_buckets

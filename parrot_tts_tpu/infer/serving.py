@@ -39,6 +39,7 @@ class ParrotTTS:
         fold: bool = True,
         src_buckets: tuple[int, ...] = SRC_BUCKETS,
         out_len_per_token: int = 16,
+        batch_size: int = 64,
     ):
         import jax
 
@@ -47,6 +48,7 @@ class ParrotTTS:
         self.cleaner = cleaner
         self.src_buckets = src_buckets
         self.out_len_per_token = out_len_per_token
+        self.batch_size = batch_size
         self.tte_params = fold_tte_params(tte_params) if fold else tte_params
         self.vocoder = VocoderSynthesizer(vocoder_params, vocoder_cfg,
                                           fold=fold)
@@ -63,36 +65,24 @@ class ParrotTTS:
 
     def predict_units(self, token_seqs: Sequence[np.ndarray],
                       speakers: Sequence[int]) -> list[np.ndarray]:
-        import jax.numpy as jnp
+        from parrot_tts_tpu.infer.tte_infer import (decode_buckets,
+                                                    max_decode_len)
 
-        results: list[np.ndarray | None] = [None] * len(token_seqs)
         by_bucket: dict[int, list[int]] = {}
         for i, seq in enumerate(token_seqs):
             by_bucket.setdefault(
                 pick_bucket(self.src_buckets, len(seq)), []).append(i)
 
-        for s_len, idxs in sorted(by_bucket.items()):
-            out_len = min(
-                -(-s_len * self.out_len_per_token // 128) * 128,
-                -(-self.tte_cfg.max_len // 128) * 128)
-            b = len(idxs)
-            phones = np.zeros((b, s_len), np.int32)
-            mask = np.zeros((b, s_len), bool)
-            spk = np.zeros((b,), np.int32)
-            for j, gi in enumerate(idxs):
-                seq = token_seqs[gi][:s_len]
-                phones[j, : len(seq)] = seq
-                mask[j, : len(seq)] = True
-                spk[j] = speakers[gi]
-            batch = {"phones": jnp.asarray(phones),
-                     "src_mask": jnp.asarray(mask),
-                     "speaker": jnp.asarray(spk)}
-            codes, cmask = self._infer(self.tte_params, batch,
-                                       cfg=self.tte_cfg, out_len=out_len)
-            codes, cmask = np.asarray(codes), np.asarray(cmask)
-            for j, gi in enumerate(idxs):
-                results[gi] = codes[j][cmask[j]].astype(np.int32)
-        return results  # type: ignore[return-value]
+        cap = max_decode_len(self.tte_cfg)
+        plan = [(s_len,
+                 min(-(-s_len * self.out_len_per_token // 128) * 128, cap),
+                 idxs)
+                for s_len, idxs in sorted(by_bucket.items())]
+        samples = [(seq, speakers[i]) for i, seq in enumerate(token_seqs)]
+        # overflow samples (predicted duration > bucket) re-decode in a larger
+        # bucket inside decode_buckets — no silent truncation
+        return decode_buckets(self._infer, self.tte_params, self.tte_cfg,
+                              samples, plan, batch_size=self.batch_size)
 
     def tts(self, texts: Sequence[str],
             speakers: Sequence[int] | None = None,

@@ -24,6 +24,13 @@ from parrot_tts_tpu.text.tokenizer import DFATokenizer
 CODE_BUCKETS = (128, 256, 512, 1024, 2048)
 
 
+def peak_normalize(wav: np.ndarray) -> np.ndarray:
+    """librosa.util.normalize default (peak |x| -> 1), used by the reference
+    on every written wav (utils/vocoder/inference.py:169,174)."""
+    peak = float(np.abs(wav).max())
+    return wav / peak if peak > 0 else wav
+
+
 class VocoderSynthesizer:
     """Batched unit -> waveform synthesis from folded (inference) params."""
 
@@ -114,9 +121,18 @@ def synthesize_text(
         "src_mask": jnp.ones((1, s_len), bool),
         "speaker": jnp.asarray([speaker_id], np.int32),
     }
-    out_len = min(s_len * 16, tte_cfg.max_len)
-    codes, mask = parrot.infer_codes(tte_params, batch, tte_cfg,
-                                     out_len=out_len)
+    from parrot_tts_tpu.infer.tte_infer import max_decode_len
+
+    cap = max_decode_len(tte_cfg)
+    out_len = min(s_len * 16, cap)
+    codes, mask, total = parrot.infer_codes(tte_params, batch, tte_cfg,
+                                            out_len=out_len)
+    if int(total[0]) > out_len and out_len < cap:
+        # predicted speech overflows the heuristic bucket: re-decode at the
+        # needed length (the reference's dynamic shapes never truncate)
+        out_len = min(-(-int(total[0]) // 128) * 128, cap)
+        codes, mask, total = parrot.infer_codes(tte_params, batch, tte_cfg,
+                                                out_len=out_len)
     units = np.asarray(codes)[0][np.asarray(mask)[0]]
     spk = vocoder_speaker_id if vocoder_speaker_id is not None else speaker_id
     return synthesizer.synthesize([units], [spk])[0]

@@ -9,6 +9,7 @@ and tests/test_tte_parity.py), then unpadded host-side.
 
 from __future__ import annotations
 
+import warnings
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -18,6 +19,69 @@ from parrot_tts_tpu.core.config import TTEModelConfig
 from parrot_tts_tpu.data.audio_io import duration_seconds
 from parrot_tts_tpu.data.tte_data import TTEDataset, pick_bucket
 from parrot_tts_tpu.models.tte import parrot
+
+
+def max_decode_len(model_cfg: TTEModelConfig) -> int:
+    """Largest usable decoder bucket = the PE table's padded row count
+    (models/tte/parrot.py::pos_table)."""
+    return -(-model_cfg.max_len // 128) * 128
+
+
+def decode_buckets(
+    infer,
+    params,
+    model_cfg: TTEModelConfig,
+    samples: list[tuple[np.ndarray, int]],
+    plan: list[tuple[int, int, list[int]]],
+    *,
+    batch_size: int,
+) -> list[np.ndarray]:
+    """Run greedy decode over a (s_len, out_len, indices) bucket plan,
+    re-decoding any sample whose predicted total duration overflows its
+    out_len bucket in a larger one — the reference's dynamic shapes never
+    truncate (modules/duration.py:6-24), so neither may the bucketed path.
+
+    samples: (phone_ids, speaker) per item. Returns unit arrays per item.
+    """
+    cap = max_decode_len(model_cfg)
+    results: list[np.ndarray | None] = [None] * len(samples)
+    pending = list(plan)
+    while pending:
+        s_len, out_len, idxs = pending.pop(0)
+        retry: dict[tuple[int, int], list[int]] = {}
+        for off in range(0, len(idxs), batch_size):
+            chunk = idxs[off : off + batch_size]
+            b = len(chunk)
+            phones = np.zeros((b, s_len), np.int32)
+            src_mask = np.zeros((b, s_len), bool)
+            speaker = np.zeros((b,), np.int32)
+            for j, gi in enumerate(chunk):
+                seq, spk = samples[gi]
+                n = min(len(seq), s_len)
+                phones[j, :n] = seq[:n]
+                src_mask[j, :n] = True
+                speaker[j] = spk
+            batch = {"phones": jnp.asarray(phones),
+                     "src_mask": jnp.asarray(src_mask),
+                     "speaker": jnp.asarray(speaker)}
+            codes, mask, total = infer(params, batch, cfg=model_cfg,
+                                       out_len=out_len)
+            codes, mask = np.asarray(codes), np.asarray(mask)
+            total = np.asarray(total)
+            for j, gi in enumerate(chunk):
+                if total[j] > out_len and out_len < cap:
+                    need = min(-(-int(total[j]) // 128) * 128, cap)
+                    retry.setdefault((s_len, need), []).append(gi)
+                else:
+                    if total[j] > out_len:
+                        warnings.warn(
+                            f"sample {gi}: predicted duration {int(total[j])}"
+                            f" frames exceeds the model's positional-table "
+                            f"cap {cap}; output truncated")
+                    results[gi] = codes[j][mask[j]].astype(np.int32)
+        for (rs, rt), ridx in sorted(retry.items()):
+            pending.append((rs, rt, ridx))
+    return results  # type: ignore[return-value]
 
 
 def predict_units(
@@ -34,8 +98,6 @@ def predict_units(
     reference inference.py:61-62)."""
     import jax
 
-    results: list[dict | None] = [None] * len(dataset)
-
     by_bucket: dict[int, list[int]] = {}
     for i, s in enumerate(dataset.samples):
         by_bucket.setdefault(pick_bucket(src_buckets, len(s.phones)), []).append(i)
@@ -43,31 +105,14 @@ def predict_units(
     infer = jax.jit(parrot.infer_codes,
                     static_argnames=("cfg", "out_len"))
 
-    for s_len, idxs in sorted(by_bucket.items()):
-        out_len = min(s_len * out_len_per_token, model_cfg.max_len)
-        for off in range(0, len(idxs), batch_size):
-            chunk = idxs[off : off + batch_size]
-            b = len(chunk)
-            phones = np.zeros((b, s_len), np.int32)
-            src_mask = np.zeros((b, s_len), bool)
-            speaker = np.zeros((b,), np.int32)
-            for j, gi in enumerate(chunk):
-                s = dataset.samples[gi]
-                n = min(len(s.phones), s_len)
-                phones[j, :n] = s.phones[:n]
-                src_mask[j, :n] = True
-                speaker[j] = s.speaker
-            batch = {
-                "phones": jnp.asarray(phones),
-                "src_mask": jnp.asarray(src_mask),
-                "speaker": jnp.asarray(speaker),
-            }
-            codes, mask = infer(params, batch, cfg=model_cfg, out_len=out_len)
-            codes, mask = np.asarray(codes), np.asarray(mask)
-            for j, gi in enumerate(chunk):
-                units = codes[j][mask[j]].tolist()
-                results[gi] = {"hubert": " ".join(map(str, units))}
-    return [r if r is not None else {} for r in results]
+    cap = max_decode_len(model_cfg)
+    plan = [(s_len, min(s_len * out_len_per_token, cap), idxs)
+            for s_len, idxs in sorted(by_bucket.items())]
+    samples = [(s.phones, s.speaker) for s in dataset.samples]
+    units = decode_buckets(infer, params, model_cfg, samples, plan,
+                           batch_size=batch_size)
+    return [{"hubert": " ".join(map(str, u.tolist()))} if u is not None
+            else {} for u in units]
 
 
 def write_predictions(

@@ -248,11 +248,18 @@ def infer_codes(
     *,
     out_len: int,
     precision=None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy decode (reference parrot.py:112-120): argmax over codes,
     validity mask for host-side unpadding. Returns (codes (B,out_len),
-    mask True=valid)."""
-    logits, tgt_mask, _ = apply_parrot(
+    mask True=valid, total (B,) = sum of predicted durations).
+
+    `total` lets callers detect bucket overflow: the reference's dynamic
+    shapes never truncate (modules/duration.py:6-24), so when
+    total > out_len the caller must re-decode that sample in a larger
+    bucket (infer/tte_infer.py, infer/serving.py do)."""
+    logits, tgt_mask, log_dur = apply_parrot(
         params, batch, cfg, out_len=out_len, inference=True,
         deterministic=True, precision=precision)
-    return jnp.argmax(logits, axis=-1), tgt_mask
+    durations = jnp.where(batch["src_mask"],
+                          lr_ops.durations_from_log_pred(log_dur), 0)
+    return jnp.argmax(logits, axis=-1), tgt_mask, jnp.sum(durations, axis=1)

@@ -1,8 +1,9 @@
-"""Parallelism layer — re-exports the mesh/sharding module.
+"""Parallelism layer.
 
-The distribution strategy lives in `core/mesh.py` (data-parallel mesh with
-an optional model axis, XLA-emitted collectives; SURVEY.md §2c/§2d). This
-package name mirrors the conventional layout for discoverability.
+Data parallelism (the reference's only strategy, SURVEY.md §2c) lives in
+`core/mesh.py` and is re-exported here; `parallel.tensor` adds the
+model-axis partition rules for tensor-parallel layouts beyond reference
+scale.
 """
 
 from parrot_tts_tpu.core.mesh import (  # noqa: F401
@@ -15,4 +16,9 @@ from parrot_tts_tpu.core.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     shard_params,
+)
+from parrot_tts_tpu.parallel.tensor import (  # noqa: F401
+    TTE_RULES,
+    partition_specs,
+    shard_params_tp,
 )

@@ -30,7 +30,11 @@ from parrot_tts_tpu.train.schedules import cosine_warmup_schedule
 class TTETrainState(NamedTuple):
     params: Any
     opt_state: Any
-    step: jnp.ndarray  # optimizer steps (post-accumulation)
+    # MICRO-batch steps: +1 per train_step call. The optimizer applies every
+    # grad_acc_steps calls (optax.MultiSteps); optimizer-step count is
+    # step // grad_acc_steps. Dropout folds in the micro-step so every
+    # micro-batch draws a distinct mask (Lightning/torch behave the same).
+    step: jnp.ndarray
 
 
 def make_optimizer(cfg: TTETrainConfig) -> optax.GradientTransformation:

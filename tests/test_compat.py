@@ -38,7 +38,7 @@ def test_lightning_ckpt_loader(tmp_path, rng):
     batch = {"phones": jnp.asarray(phones),
              "src_mask": jnp.ones((1, 9), bool),
              "speaker": jnp.asarray([1], np.int32)}
-    codes, mask = parrot.infer_codes(params, batch, cfg, out_len=64)
+    codes, mask, _ = parrot.infer_codes(params, batch, cfg, out_len=64)
     assert np.asarray(mask).sum() >= 0  # decode runs
 
 

@@ -39,6 +39,46 @@ def test_synthesizer_buckets_and_trims(rng):
     np.testing.assert_allclose(solo, wavs[0], atol=1e-5)
 
 
+def test_tte_decode_rebuckets_on_overflow(rng):
+    """Slow-speech safety: a sample whose predicted duration overflows its
+    heuristic out_len bucket is re-decoded in a larger bucket instead of
+    being silently truncated (the reference's dynamic shapes never truncate,
+    modules/duration.py:6-24)."""
+    import jax.numpy as jnp
+
+    from parrot_tts_tpu.core.config import (TTEModelConfig,
+                                            TransformerStackConfig)
+    from parrot_tts_tpu.infer.tte_infer import decode_buckets, max_decode_len
+    from parrot_tts_tpu.models.tte import parrot
+
+    cfg = TTEModelConfig(
+        d_model=16, conv_n_filter=32, conv_kernel_sizes=(9, 1), max_len=512,
+        encoder=TransformerStackConfig(n_layer=1, n_head=2),
+        decoder=TransformerStackConfig(n_layer=1, n_head=2),
+        dur_n_filter=8, dur_kernel_size=3, hubert_codes=24, n_speaker=2,
+        vocab_size=12, pad_idx=0)
+    params = parrot.init_parrot(jax.random.key(0), cfg)
+    # force "slow speech": ~30 predicted frames per token, so an 8-token
+    # sample (~240 frames) overflows the 8*16=128-frame heuristic bucket
+    params["duration_predictor"]["proj"]["b"] = jnp.asarray([np.log(30.0)])
+
+    phones = rng.integers(2, cfg.vocab_size, size=8).astype(np.int32)
+    infer = jax.jit(parrot.infer_codes, static_argnames=("cfg", "out_len"))
+    units = decode_buckets(infer, params, cfg, [(phones, 1)],
+                           [(8, 128, [0])], batch_size=4)
+
+    # ground truth: one decode at the cap (what dynamic shapes would give)
+    cap = max_decode_len(cfg)
+    batch = {"phones": jnp.asarray(phones[None]),
+             "src_mask": jnp.ones((1, 8), bool),
+             "speaker": jnp.asarray([1], np.int32)}
+    codes, mask, total = infer(params, batch, cfg=cfg, out_len=cap)
+    assert int(total[0]) > 128          # the 128 bucket would have truncated
+    want = np.asarray(codes)[0][np.asarray(mask)[0]]
+    np.testing.assert_array_equal(units[0], want)
+    assert len(units[0]) == int(total[0])
+
+
 def test_alignment_debug_text():
     import jax.numpy as jnp
 

@@ -41,6 +41,59 @@ def test_local_batch_size():
     assert raised
 
 
+def test_tensor_parallel_forward_matches_replicated(rng):
+    """Model-axis TP rules: params actually partition, and the TP forward
+    equals the replicated forward (XLA derives the collectives)."""
+    from parrot_tts_tpu.core.config import (TTEModelConfig,
+                                            TransformerStackConfig)
+    from parrot_tts_tpu.models.tte import parrot
+    from parrot_tts_tpu.parallel import partition_specs, shard_params_tp
+
+    cfg = TTEModelConfig(
+        d_model=16, conv_n_filter=32, conv_kernel_sizes=(9, 1), max_len=64,
+        encoder=TransformerStackConfig(n_layer=2, n_head=2),
+        decoder=TransformerStackConfig(n_layer=2, n_head=2),
+        dur_n_filter=8, dur_kernel_size=3, hubert_codes=24, n_speaker=4,
+        vocab_size=12, pad_idx=0)
+    params = parrot.init_parrot(jax.random.key(0), cfg)
+    specs = partition_specs(params)
+    # the rules hit the big tensors...
+    assert specs["head"]["w"] == P(None, "model")
+    assert specs["encoder_layers"][0]["attn"]["qkv"] == P(None, "model")
+    assert specs["encoder_layers"][1]["conv1"]["w"] == P(None, None, "model")
+    # ...and default-replicate the rest
+    assert specs["tok_emb"] == P()
+    assert specs["encoder_layers"][0]["attn_norm"]["scale"] == P()
+
+    b, s, t = 4, 8, 16
+    durs = rng.integers(1, 3, size=(b, s)).astype(np.int32)
+    batch = {
+        "phones": rng.integers(2, cfg.vocab_size, size=(b, s)).astype(np.int32),
+        "duration": durs,
+        "src_mask": np.ones((b, s), bool),
+        "tgt_mask": np.arange(t)[None, :] < durs.sum(axis=1)[:, None],
+        "speaker": rng.integers(0, cfg.n_speaker, size=(b,)).astype(np.int32),
+    }
+
+    def fwd(p, bt):
+        logits, _, log_dur = parrot.apply_parrot(
+            p, bt, cfg, out_len=t, inference=False, deterministic=True)
+        return logits, log_dur
+
+    ref_logits, ref_dur = jax.jit(fwd)(params, batch)
+
+    mesh = meshlib.create_mesh(model_parallel_size=2)
+    tp_params = shard_params_tp(mesh, params)
+    head_shard = tp_params["head"]["w"].addressable_shards[0].data
+    assert head_shard.shape == (cfg.d_model, cfg.hubert_codes // 2)
+    tp_batch = meshlib.shard_batch(mesh, batch)
+    tp_logits, tp_dur = jax.jit(fwd)(tp_params, tp_batch)
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp_dur), np.asarray(ref_dur),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_multihost_loader_slices_consistent(tmp_path, rng):
     """All 'hosts' derive the same schedule; their slices tile the global
     batch."""

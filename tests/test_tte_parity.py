@@ -174,7 +174,7 @@ def test_parrot_infer_unit_exact_bucketed_batch(tmp_path, rng):
         "speaker": jnp.asarray(speakers),
         "src_mask": jnp.asarray(src_mask),
     }
-    codes, mask = parrot.infer_codes(params, batch_j, cfg, out_len=t_bucket)
+    codes, mask, _ = parrot.infer_codes(params, batch_j, cfg, out_len=t_bucket)
     codes, mask = np.asarray(codes), np.asarray(mask)
 
     for i, ref in enumerate(ref_codes):
@@ -197,8 +197,8 @@ def test_folded_params_same_decode(tmp_path, rng):
         "src_mask": jnp.ones((1, len(phones)), bool),
         "speaker": jnp.asarray([speaker]),
     }
-    c1, m1 = parrot.infer_codes(params, batch, cfg, out_len=64)
-    c2, m2 = parrot.infer_codes(folded, batch, cfg, out_len=64)
+    c1, m1, _ = parrot.infer_codes(params, batch, cfg, out_len=64)
+    c2, m2, _ = parrot.infer_codes(folded, batch, cfg, out_len=64)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(c1)[np.asarray(m1)],
                                   np.asarray(c2)[np.asarray(m2)])
