@@ -109,6 +109,14 @@ def main(argv=None):
     s.add_argument("--ckpt-dir", required=True)
     s.add_argument("--out-dir", required=True)
     s.add_argument("--vc", action="store_true")
+    s.add_argument("--copy-gt", action="store_true",
+                   help="write peak-normalized <name>_gt.wav next to "
+                        "generations (reference inference.py:171-175)")
+    s.add_argument("--debug", action="store_true",
+                   help="serial one-utterance-at-a-time synthesis "
+                        "(reference inference.py:237-251)")
+    s.add_argument("-n", "--limit", type=int, default=None,
+                   help="stop after N utterances (reference -n)")
 
     args = p.parse_args(argv)
     return DISPATCH[args.cmd](args)
@@ -136,36 +144,15 @@ def _preprocess_aligner(args):
 
 
 def _train_aligner(args):
-    import jax
-
-    from parrot_tts_tpu.core.config import (AlignerModelConfig,
-                                            AlignerTrainConfig)
-    from parrot_tts_tpu.core.checkpoint import CheckpointManager
-    from parrot_tts_tpu.data.aligner_data import AlignerDataset, AlignerLoader
+    from parrot_tts_tpu.core.config import AlignerTrainConfig
+    from parrot_tts_tpu.pipeline.train_aligner import train_aligner
     from parrot_tts_tpu.text.tokenizer import load_symbols
-    from parrot_tts_tpu.train import aligner as atrain
 
     data_dir = Path(args.data_dir)
     symbols = load_symbols(data_dir.parent / "symbols.pkl")
     tcfg = AlignerTrainConfig(epochs=args.epochs, batch_size=args.batch_size)
-    ds = AlignerDataset(data_dir)
-    n_mels = ds.load(0)[0].shape[1]
-    mcfg = AlignerModelConfig(n_mels=n_mels, num_symbols=len(symbols) + 1)
-    loader = AlignerLoader(ds, tcfg.batch_size, tcfg.mel_bucket_sizes,
-                           tcfg.token_bucket_sizes)
-    state = atrain.init_state(jax.random.key(0), mcfg, tcfg)
-    mgr = CheckpointManager(data_dir / "ckpt")
-    if mgr.latest_step() is not None:
-        state = mgr.restore(template=state)
-    step = int(state.step)
-    for epoch in range(tcfg.epochs):
-        for batch in loader.batches(epoch):
-            state, metrics = atrain.train_step(state, batch, tcfg)
-            step += 1
-            if step % tcfg.checkpoint_steps == 0:
-                mgr.save(step, jax.device_get(state))
-        mgr.save(step, jax.device_get(state), wait=epoch == tcfg.epochs - 1)
-    print(json.dumps({"steps": step}))
+    stats = train_aligner(data_dir, symbols, tcfg)
+    print(json.dumps(stats))
 
 
 def _extract_durations(args):
@@ -292,13 +279,20 @@ def _synthesize(args):
     from parrot_tts_tpu.data.manifest import parse_speaker, read_manifest
     from parrot_tts_tpu.infer.synthesize import VocoderSynthesizer
 
+    from parrot_tts_tpu.core.config import vocoder_config_from_json
+
     cfg = PipelineConfig()
+    saved_cfg = Path(args.ckpt_dir) / "config.json"
+    vcfg = (vocoder_config_from_json(saved_cfg.read_text())
+            if saved_cfg.exists() else cfg.vocoder_model)
     mgr = CheckpointManager(args.ckpt_dir)
     state = mgr.restore()
     gen_params = state["gen_params"] if "gen_params" in state else state
-    synth = VocoderSynthesizer(gen_params, cfg.vocoder_model)
+    synth = VocoderSynthesizer(gen_params, vcfg)
 
     entries = read_manifest(args.manifest)
+    if getattr(args, "limit", None):
+        entries = entries[: args.limit]
     codes = [np.asarray([int(c) for c in e["hubert"].split(" ")], np.int32)
              for e in entries]
     spk_names = sorted({parse_speaker(e["audio"], "_") for e in entries})
@@ -308,14 +302,40 @@ def _synthesize(args):
     names = [Path(e["audio"]).stem for e in entries]
 
     if args.vc:  # all-speaker sweep (reference inference.py:157-170)
-        n_spk = cfg.vocoder_model.num_speakers
+        n_spk = vcfg.num_speakers
         all_codes = [c for c in codes for _ in range(n_spk)]
         all_spk = [k for _ in codes for k in range(n_spk)]
         all_names = [f"{n}_spk{k}" for n in names for k in range(n_spk)]
-        paths = synth.to_wavs(all_codes, all_spk, args.out_dir, all_names)
+        codes, speakers, out_names = all_codes, all_spk, all_names
     else:
-        paths = synth.to_wavs(codes, speakers, args.out_dir, names)
-    print(json.dumps({"wavs": len(paths), "rtf": synth.last_rtf}))
+        out_names = names
+
+    if getattr(args, "debug", False):
+        # serial path (reference --debug, inference.py:237-251): one
+        # utterance per device call, no bucketed batching
+        paths = []
+        for c, s, n in zip(codes, speakers, out_names):
+            paths += synth.to_wavs([c], [s], args.out_dir, [n])
+    else:
+        paths = synth.to_wavs(codes, speakers, args.out_dir, out_names)
+
+    copied = 0
+    if getattr(args, "copy_gt", False):
+        # ground-truth copies next to generations (inference.py:171-175)
+        from parrot_tts_tpu.data.audio_io import read_wav, write_wav
+        from parrot_tts_tpu.infer.synthesize import peak_normalize
+
+        out_dir = Path(args.out_dir)
+        for e, name in zip(entries, names):
+            src = Path(e["audio"])
+            if not src.exists():
+                continue
+            wav, sr = read_wav(src)
+            wav = peak_normalize(wav.astype(np.float32) / 32768.0)
+            write_wav(out_dir / f"{name}_gt.wav", wav, sr)
+            copied += 1
+    print(json.dumps({"wavs": len(paths), "gt": copied,
+                      "rtf": synth.last_rtf}))
 
 
 DISPATCH = {

@@ -362,3 +362,20 @@ def load_reference_vocoder_json(path: str | Path) -> dict:
 def to_json(cfg: Any) -> str:
     """Serialize any config dataclass (for saving alongside checkpoints)."""
     return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+
+
+def vocoder_config_from_json(text: str) -> VocoderModelConfig:
+    """Round-trip of to_json(VocoderModelConfig) — loads the config.json that
+    pipeline/train_vocoder.py saves next to checkpoints, restoring the
+    tuple-typed fields JSON flattens to lists."""
+    d = json.loads(text)
+    d = {k: v for k, v in d.items()
+         if k in {f.name for f in dataclasses.fields(VocoderModelConfig)}}
+    for k in ("upsample_rates", "upsample_kernel_sizes",
+              "resblock_kernel_sizes"):
+        if k in d:
+            d[k] = tuple(d[k])
+    if "resblock_dilation_sizes" in d:
+        d["resblock_dilation_sizes"] = tuple(
+            tuple(x) for x in d["resblock_dilation_sizes"])
+    return VocoderModelConfig(**d)

@@ -103,18 +103,22 @@ def compute_mels_and_tokens(
     if not clean_txt.exists():
         clean_txt = out_dir.parent / speaker_dir.name / "clean_txt"
 
-    items = []
-    dataset_index = []
-    for wav_path in wavs:
+    def load_one(wav_path: Path):
         txt_path = clean_txt / (wav_path.stem + ".txt")
         if not txt_path.exists():
-            continue
+            return None
         data, sr = read_wav(wav_path)
         if sr != audio_cfg.sample_rate:
             raise ValueError(
                 f"{wav_path}: sample rate {sr} != {audio_cfg.sample_rate}")
         audio = data.astype(np.float32) / 32768.0
-        items.append((wav_path.stem, audio, txt_path.read_text().strip()))
+        return wav_path.stem, audio, txt_path.read_text().strip()
+
+    # host-parallel wav IO (the reference's worker Pool,
+    # character_preprocess.py:109-110); mels stay batched on-device
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        items = [it for it in pool.map(load_one, wavs) if it is not None]
+    dataset_index = []
 
     for off in range(0, len(items), batch_size):
         chunk = items[off : off + batch_size]

@@ -1,0 +1,105 @@
+"""CLI surface tests (the reference's inference tooling contract:
+utils/vocoder/inference.py — generated wavs, --vc sweep, GT copies next to
+generations, --debug serial path, -n limit)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from parrot_tts_tpu.core.checkpoint import CheckpointManager, save_config_json
+from parrot_tts_tpu.core.config import (VocoderModelConfig, to_json,
+                                        vocoder_config_from_json)
+from parrot_tts_tpu.data.audio_io import write_wav
+from parrot_tts_tpu.data.manifest import write_manifest
+from parrot_tts_tpu.models.vocoder import generator as gen
+
+
+def tiny_vcfg(n_spk=2):
+    return VocoderModelConfig(
+        resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_embeddings=20,
+        embedding_dim=8, model_in_dim=16, multispkr="_", num_speakers=n_spk)
+
+
+def test_vocoder_config_json_roundtrip():
+    cfg = tiny_vcfg()
+    assert vocoder_config_from_json(to_json(cfg)) == cfg
+
+
+@pytest.fixture
+def vocoder_run(tmp_path, rng):
+    """A checkpointed tiny vocoder + a 3-utterance manifest with real GT
+    wavs on disk."""
+    cfg = tiny_vcfg()
+    params = gen.init_code_generator(jax.random.key(0), cfg)
+    ckpt_dir = tmp_path / "run" / "ckpt"
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(1, {"gen_params": jax.device_get(params)}, wait=True)
+    # hand the CLI the exact topology via the saved config.json
+    save_config_json(ckpt_dir, to_json(cfg))
+
+    hop = cfg.total_upsample
+    entries = []
+    for spk in ("en_f", "en_m"):
+        for i in range(2 if spk == "en_f" else 1):
+            n_codes = int(rng.integers(12, 30))
+            wav = (rng.standard_normal(n_codes * hop) * 0.1).astype(np.float32)
+            wav_path = tmp_path / "wavs" / f"{spk}_utt{i}.wav"
+            write_wav(wav_path, wav, 16_000)
+            entries.append({
+                "audio": str(wav_path),
+                "hubert": " ".join(map(str, rng.integers(
+                    0, cfg.num_embeddings, size=n_codes))),
+                "duration": str(n_codes * hop / 16_000),
+            })
+    manifest = tmp_path / "hubert.txt"
+    write_manifest(manifest, entries)
+    return ckpt_dir, manifest, entries
+
+
+def test_synthesize_cli_gt_copy_and_limit(vocoder_run, tmp_path, capsys):
+    from parrot_tts_tpu.cli import main
+
+    ckpt_dir, manifest, entries = vocoder_run
+    out_dir = tmp_path / "gen"
+    main(["synthesize", "--manifest", str(manifest),
+          "--ckpt-dir", str(ckpt_dir), "--out-dir", str(out_dir),
+          "--copy-gt", "-n", "2"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["wavs"] == 2 and stats["gt"] == 2
+    gen_wavs = sorted(out_dir.glob("*_gen.wav"))
+    gt_wavs = sorted(out_dir.glob("*_gt.wav"))
+    assert len(gen_wavs) == 2 and len(gt_wavs) == 2
+    # GT copies are peak-normalized (reference inference.py:174)
+    from parrot_tts_tpu.data.audio_io import read_wav
+
+    data, sr = read_wav(gt_wavs[0])
+    assert sr == 16_000
+    peak = np.abs(data.astype(np.float32) / 32768.0).max()
+    assert 0.95 <= peak <= 1.0
+
+
+def test_synthesize_cli_debug_serial_matches_batched(vocoder_run, tmp_path,
+                                                     capsys):
+    from parrot_tts_tpu.cli import main
+    from parrot_tts_tpu.data.audio_io import read_wav
+
+    ckpt_dir, manifest, entries = vocoder_run
+    out_b = tmp_path / "gen_batched"
+    out_d = tmp_path / "gen_debug"
+    main(["synthesize", "--manifest", str(manifest),
+          "--ckpt-dir", str(ckpt_dir), "--out-dir", str(out_b)])
+    main(["synthesize", "--manifest", str(manifest),
+          "--ckpt-dir", str(ckpt_dir), "--out-dir", str(out_d), "--debug"])
+    capsys.readouterr()
+    b_files = sorted(p.name for p in out_b.glob("*_gen.wav"))
+    d_files = sorted(p.name for p in out_d.glob("*_gen.wav"))
+    assert b_files == d_files and len(b_files) == len(entries)
+    for name in b_files:
+        wb, _ = read_wav(out_b / name)
+        wd, _ = read_wav(out_d / name)
+        np.testing.assert_allclose(wb, wd, atol=2)  # int16 LSBs

@@ -64,42 +64,47 @@ def test_full_pipeline(corpus, tmp_path):
     assert " " in symbols
     assert (aligner_dir / "symbols.pkl").exists()
 
-    # 3: per-speaker mels + tokens (on-device batched mel)
+    # 3: per-speaker mels + tokens (on-device batched mel). clean_txt was
+    # written to aligner_dir/<spk>/clean_txt by clean_corpus;
+    # compute_mels_and_tokens reads it from there.
     for spk in SPEAKERS:
-        # clean_txt lives under aligner_dir/<spk>; wavs under corpus/<spk>
-        spk_dir = corpus / spk
-        out_dir = aligner_dir / spk
-        (out_dir / "clean_txt").mkdir(exist_ok=True)
-        for f in (aligner_dir / spk / "clean_txt").glob("*.txt"):
-            pass
         stats = compute_mels_and_tokens(
-            spk_dir, out_dir, symbols,
+            corpus / spk, aligner_dir / spk, symbols,
             audio_cfg=None, batch_size=4)
         assert stats["items"] == len(TEXTS)
 
-    # wait: clean_txt was written to aligner_dir/<spk>/clean_txt by
-    # clean_corpus; compute_mels_and_tokens falls back to that location.
-
-    # 4: brief aligner CTC training
-    from parrot_tts_tpu.data.aligner_data import AlignerDataset, AlignerLoader
+    # 4: brief aligner CTC training via the observability-wired driver
+    from parrot_tts_tpu.core.checkpoint import CheckpointManager
+    from parrot_tts_tpu.data.aligner_data import AlignerDataset
+    from parrot_tts_tpu.pipeline.train_aligner import train_aligner
     from parrot_tts_tpu.train import aligner as atrain
 
     mcfg = AlignerModelConfig(n_mels=80, conv_dim=16, lstm_dim=16,
                               num_symbols=len(symbols) + 1)
-    tcfg = AlignerTrainConfig(batch_size=4, mel_bucket_sizes=(32,),
+    tcfg = AlignerTrainConfig(batch_size=4, epochs=1, plot_steps=2,
+                              mel_bucket_sizes=(32,),
                               token_bucket_sizes=(16,))
     for spk in SPEAKERS:
         ds = AlignerDataset(aligner_dir / spk)
-        loader = AlignerLoader(ds, 4, (32,), (16,))
-        state = atrain.init_state(jax.random.key(0), mcfg, tcfg)
-        for batch in loader.batches(0):
-            state, metrics = atrain.train_step(state, batch, tcfg)
-        assert np.isfinite(float(metrics["ctc_loss"]))
+        out = train_aligner(aligner_dir / spk, symbols, tcfg,
+                            model_cfg=mcfg)
+        assert np.isfinite(out["ctc_loss"])
+        # observability parity (reference trainer.py:73-75, 112-115):
+        # ctc_loss scalars + decoded/target/duration-repeated text artifacts
+        logs = aligner_dir / spk / "logs"
+        tags = [json.loads(l)["tag"]
+                for l in (logs / "metrics.jsonl").read_text().splitlines()]
+        assert "CTC_Loss" in tags and "Params/learning_rate" in tags
+        for tag in ("Text_Prediction", "Text_Target",
+                    "Text_Target_Duration_Repeated"):
+            assert list((logs / "text").glob(f"{tag}_*.txt")), tag
 
-        # 5: duration extraction
+        # 5: duration extraction (from the ckpt the driver saved)
         from parrot_tts_tpu.pipeline.extract_durations import (
             extract_all_durations)
 
+        state = CheckpointManager(aligner_dir / spk / "ckpt").restore(
+            template=atrain.init_state(jax.random.key(0), mcfg, tcfg))
         stats = extract_all_durations(aligner_dir / spk, state.params,
                                       state.bn_state, batch_size=4)
         assert stats["items"] == len(TEXTS)
