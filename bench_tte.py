@@ -1,0 +1,115 @@
+"""TTE training benchmark: reference-scale train steps/s on one chip.
+
+Topology and hot loop mirror the reference's production run
+(`/root/reference/utils/TTE/TTE_config.yaml`: d_model=256, conv_n_filter=1024,
+4+4 FFT blocks, 1000-way head; `/root/reference/train.py:72-85`: batch 6 with
+grad-accumulation 4, AdamW + warmup-cosine). Shapes are the static buckets a
+typical corpus lands in (~128 source tokens -> ~512 unit frames at ~4
+frames/token).
+
+Reports MICRO-steps/s (one fwd+bwd on a batch-6 micro-batch, the unit
+Lightning iterates); optimizer steps/s = value / 4. Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+SRC_LEN = 128
+TGT_LEN = 512
+BATCH = 6          # reference TTE_config.yaml train.batch_size
+GRAD_ACC = 4       # reference TTE_config.yaml train.grad_acc_steps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from parrot_tts_tpu.core.config import (TTEModelConfig, TTETrainConfig,
+                                            TransformerStackConfig)
+    from parrot_tts_tpu.train import tte as tte_train
+
+    cfg = TTEModelConfig(
+        d_model=256, conv_n_filter=1024, conv_kernel_sizes=(9, 1),
+        max_len=3500,
+        encoder=TransformerStackConfig(n_layer=4, n_head=2, dropout_p=0.1),
+        decoder=TransformerStackConfig(n_layer=4, n_head=2, dropout_p=0.1),
+        dur_n_filter=256, dur_kernel_size=3, dur_dropout_p=0.5,
+        hubert_codes=1000, n_speaker=10, vocab_size=100, pad_idx=0)
+    tcfg = TTETrainConfig(batch_size=BATCH, grad_acc_steps=GRAD_ACC,
+                          warmup_steps=2000, total_steps=50_000)
+
+    rng = np.random.default_rng(0)
+    src_lens = rng.integers(SRC_LEN - 16, SRC_LEN + 1, size=BATCH)
+    durs = np.zeros((BATCH, SRC_LEN), np.int32)
+    for i, n in enumerate(src_lens):
+        d = rng.integers(2, 7, size=n)
+        scale = min(1.0, TGT_LEN / max(1, d.sum()))
+        durs[i, :n] = np.maximum(1, (d * scale).astype(np.int32))
+    tgt_lens = durs.sum(axis=1)
+    batch = {
+        "phones": jnp.asarray(rng.integers(
+            2, cfg.vocab_size, size=(BATCH, SRC_LEN)).astype(np.int32)),
+        "duration": jnp.asarray(durs),
+        "codes": jnp.asarray(rng.integers(
+            0, cfg.hubert_codes, size=(BATCH, TGT_LEN)).astype(np.int32)),
+        "src_mask": jnp.asarray(
+            np.arange(SRC_LEN)[None, :] < src_lens[:, None]),
+        "tgt_mask": jnp.asarray(
+            np.arange(TGT_LEN)[None, :] < tgt_lens[:, None]),
+        "speaker": jnp.asarray(rng.integers(
+            0, cfg.n_speaker, size=(BATCH,)).astype(np.int32)),
+    }
+
+    state = tte_train.init_state(jax.random.key(0), cfg, tcfg)
+    key = jax.random.key(1)
+
+    # compile + warmup; the float() readback is the completion barrier
+    # (block_until_ready returns early through the axon relay)
+    for _ in range(3):
+        state, metrics = tte_train.train_step(state, batch, key, cfg, tcfg,
+                                              TGT_LEN)
+        _ = float(metrics["total_loss"])
+
+    # steady-state: steps chain on-device through the donated state; the
+    # production loop (pipeline/train_tte.py) fetches metrics only at
+    # log_every cadence, so only the final readback syncs the host. A
+    # per-step float() would bill one ~26 ms relay round trip per step
+    # (PERF.md methodology).
+    iters = 40
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(iters):
+        state, metrics = tte_train.train_step(state, batch, key, cfg, tcfg,
+                                              TGT_LEN)
+        last = metrics["total_loss"]
+    _ = float(last)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters / dt
+    print(json.dumps({
+        "metric": "tte_train_micro_steps_per_second_per_chip",
+        "value": round(steps_per_s, 3),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(steps_per_s, 3),
+        "detail": {"batch": BATCH, "grad_acc": GRAD_ACC,
+                   "src_len": SRC_LEN, "tgt_len": TGT_LEN,
+                   "optimizer_steps_per_s": round(steps_per_s / GRAD_ACC, 3)},
+    }))
+
+
+if __name__ == "__main__":
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    try:
+        main()
+    except Exception as e:
+        print(json.dumps({
+            "metric": "tte_train_micro_steps_per_second_per_chip",
+            "value": 0.0, "unit": "steps/s/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:200],
+        }))
+        sys.exit(0)

@@ -36,6 +36,7 @@ def multi_head_attention(
     dropout_rng: jax.Array | None = None,
     deterministic: bool = True,
     precision=None,
+    force_xla: bool = False,
 ) -> jnp.ndarray:
     """torch F.multi_head_attention_forward with bias-free projections.
 
@@ -63,7 +64,7 @@ def multi_head_attention(
     qp, kp, vp = heads(qp), heads(kp), heads(vp)     # (B, H, T, dh)
     scale = 1.0 / math.sqrt(d_head)
 
-    if _use_flash(t, d_head, dropout_p, deterministic):
+    if not force_xla and _use_flash(t, d_head, dropout_p, deterministic):
         out = _flash_attention(qp, kp, vp, key_padding_mask, scale)
     else:
         scores = jnp.einsum(
