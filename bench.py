@@ -51,19 +51,24 @@ def main():
     @jax.jit
     def synth(params, code, spkr):
         y = gen.apply_code_generator(params, code, spkr, cfg)
-        # scalar checksum: the per-iteration host readback below is the only
-        # reliable completion barrier on this platform (block_until_ready
-        # returns early through the axon relay)
+        # scalar checksum: the host readback below is the only reliable
+        # completion barrier on this platform (block_until_ready returns
+        # early through the axon relay)
         return jnp.sum(y)
 
     # compile + session warmup (first fetch pays the relay handshake)
     for _ in range(3):
         _ = float(synth(params, code, spkr))
 
+    # steady-state serving pipeline: queue all batches, then drain the
+    # checksums in order. The device executes back-to-back; a per-iteration
+    # readback would instead bill one ~27 ms relay round trip per batch
+    # (measured sync-vs-async in scripts/perf_vocoder.py, PERF.md).
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        _ = float(synth(params, code, spkr))
+    outs = [synth(params, code, spkr) for _ in range(iters)]
+    for o in outs:
+        _ = float(o)
     dt = time.perf_counter() - t0
 
     audio_seconds_per_second = audio_seconds_per_batch * iters / dt

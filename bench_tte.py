@@ -11,6 +11,7 @@ Reports MICRO-steps/s (one fwd+bwd on a batch-6 micro-batch, the unit
 Lightning iterates); optimizer steps/s = value / 4. Prints ONE JSON line.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -24,6 +25,14 @@ GRAD_ACC = 4       # reference TTE_config.yaml train.grad_acc_steps
 
 
 def main():
+    global SRC_LEN, TGT_LEN, BATCH
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", type=int, default=SRC_LEN)
+    ap.add_argument("--tgt", type=int, default=TGT_LEN)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    args = ap.parse_args()
+    SRC_LEN, TGT_LEN, BATCH = args.src, args.tgt, args.batch
     import jax
     import jax.numpy as jnp
 
@@ -89,6 +98,21 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_s = iters / dt
+
+    def fft_block_flops(b, length, d, nf, k1):
+        attn = (2 * b * length * d * 3 * d      # qkv packed projection
+                + 3 * 2 * b * length * d * d    # MHA in_proj (q,k,v)
+                + 2 * 2 * b * length * length * d  # scores + attn@V
+                + 2 * 2 * b * length * d * d)   # out_proj + wo
+        conv = 2 * b * length * d * nf * k1 + 2 * b * length * nf * d
+        return attn + conv
+
+    fwd = (cfg.encoder.n_layer * fft_block_flops(
+               BATCH, SRC_LEN, cfg.d_model, cfg.conv_n_filter, 9)
+           + cfg.decoder.n_layer * fft_block_flops(
+               BATCH, TGT_LEN, cfg.d_model, cfg.conv_n_filter, 9)
+           + 2 * BATCH * TGT_LEN * cfg.d_model * cfg.hubert_codes)
+    train_flops = 3 * fwd  # fwd + ~2x bwd
     print(json.dumps({
         "metric": "tte_train_micro_steps_per_second_per_chip",
         "value": round(steps_per_s, 3),
@@ -96,7 +120,9 @@ def main():
         "vs_baseline": round(steps_per_s, 3),
         "detail": {"batch": BATCH, "grad_acc": GRAD_ACC,
                    "src_len": SRC_LEN, "tgt_len": TGT_LEN,
-                   "optimizer_steps_per_s": round(steps_per_s / GRAD_ACC, 3)},
+                   "optimizer_steps_per_s": round(steps_per_s / GRAD_ACC, 3),
+                   "achieved_tflops": round(
+                       train_flops * steps_per_s / 1e12, 2)},
     }))
 
 

@@ -62,6 +62,10 @@ class TTEModelConfig:
     # rematerialize FFT blocks in the training backward pass (saves the
     # (B, H, T, T) attention-weight tensors at long decoder lengths)
     remat: bool = True
+    # only remat stacks whose sequence length reaches this: short buckets
+    # fit in HBM without recompute (bench_tte: remat costs ~an extra
+    # forward, ~25% of step time, for nothing at T<=512)
+    remat_min_len: int = 1024
     # compute dtype for matmuls (params stay float32)
     dtype: str = "float32"
 

@@ -151,7 +151,7 @@ def _run_stack(layers, x, cfg: TTEModelConfig, stack_cfg, pad_mask,
             dropout_p=stack_cfg.dropout_p, dropout_rng=rng_i,
             deterministic=deterministic, precision=precision)
 
-    if cfg.remat and not deterministic:
+    if cfg.remat and not deterministic and x.shape[1] >= cfg.remat_min_len:
         # rematerialize per block: the XLA attention path otherwise saves
         # (B, H, T, T) weights for backward — at T=3584 that dominates HBM
         block = jax.checkpoint(block)
