@@ -148,9 +148,12 @@ class Throughput:
 
     def report(self) -> dict:
         dt = time.perf_counter() - self._t0
+        asps = self._audio_seconds / dt if dt > 0 else 0.0
         return {
             "seconds_per_batch": dt / max(1, self._batches),
             "batches_per_second": self._batches / dt if dt > 0 else 0.0,
-            "audio_seconds_per_second": self._audio_seconds / dt if dt > 0 else 0.0,
-            "rtf": (dt / self._audio_seconds) if self._audio_seconds else None,
+            "audio_seconds_per_second": asps,
+            # exact reciprocal of the published throughput (dt/audio differs
+            # in the last ulp and made rtf inconsistent with it)
+            "rtf": (1.0 / asps) if asps else None,
         }

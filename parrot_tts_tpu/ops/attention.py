@@ -65,7 +65,11 @@ def multi_head_attention(
     scale = 1.0 / math.sqrt(d_head)
 
     if not force_xla and _use_flash(t, d_head, dropout_p, deterministic):
-        out = _flash_attention(qp, kp, vp, key_padding_mask, scale)
+        if dropout_p > 0.0 and not deterministic:
+            out = _flash_attention_dropout(qp, kp, vp, key_padding_mask,
+                                           scale, dropout_p, dropout_rng)
+        else:
+            out = _flash_attention(qp, kp, vp, key_padding_mask, scale)
     else:
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", qp, kp, precision=precision) * scale
@@ -86,14 +90,30 @@ def multi_head_attention(
 
 def _use_flash(t: int, d_head: int, dropout_p: float,
                deterministic: bool) -> bool:
-    """Flash-attention path: TPU backend, MXU-aligned shapes, no attention
-    dropout (the stock Pallas kernel doesn't implement it — training with
-    dropout keeps the XLA path, which remat keeps memory-bounded)."""
-    if not deterministic and dropout_p > 0.0:
-        return False
+    """Flash-attention path: TPU backend + MXU-aligned shapes. Deterministic
+    passes use the stock Pallas kernel; training-with-attention-dropout (the
+    reference recipe, modules/fft.py:49) uses ops/flash_dropout.py, which
+    regenerates the keep-mask from a counter PRNG in fwd and bwd."""
     if d_head % 128 or t % 128 or t < 512:
         return False
     return jax.default_backend() == "tpu"
+
+
+def _flash_attention_dropout(qp, kp, vp, key_padding_mask, scale,
+                             dropout_p, dropout_rng):
+    from parrot_tts_tpu.ops import flash_dropout as fd
+
+    b, _, t, _ = qp.shape
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, fd.NEG_BIAS, 0.0).astype(
+            jnp.float32)
+    else:
+        bias = jnp.zeros((b, t), jnp.float32)
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.bits(dropout_rng, (1,), jnp.uint32), jnp.int32)
+    blk = fd.pick_block(t)
+    return fd.flash_attention_dropout(qp, kp, vp, bias, seed, dropout_p,
+                                      scale, blk, blk)
 
 
 def _flash_attention(qp, kp, vp, key_padding_mask, scale):
