@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--src", type=int, default=SRC_LEN)
     ap.add_argument("--tgt", type=int, default=TGT_LEN)
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="A/B: disable FFT-block rematerialization")
+    ap.add_argument("--force-xla-attn", action="store_true",
+                    help="A/B: force the XLA attention path (no Pallas)")
     args = ap.parse_args()
     SRC_LEN, TGT_LEN, BATCH = args.src, args.tgt, args.batch
     import jax
@@ -46,7 +50,11 @@ def main():
         encoder=TransformerStackConfig(n_layer=4, n_head=2, dropout_p=0.1),
         decoder=TransformerStackConfig(n_layer=4, n_head=2, dropout_p=0.1),
         dur_n_filter=256, dur_kernel_size=3, dur_dropout_p=0.5,
-        hubert_codes=1000, n_speaker=10, vocab_size=100, pad_idx=0)
+        hubert_codes=1000, n_speaker=10, vocab_size=100, pad_idx=0,
+        remat=not args.no_remat)
+    if args.force_xla_attn:
+        from parrot_tts_tpu.ops import attention as attn_ops
+        attn_ops._use_flash = lambda *a, **k: False
     tcfg = TTETrainConfig(batch_size=BATCH, grad_acc_steps=GRAD_ACC,
                           warmup_steps=2000, total_steps=50_000)
 

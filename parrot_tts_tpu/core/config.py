@@ -166,6 +166,13 @@ class VocoderModelConfig:
     # conv keeps full MXU lanes (ops/folded.py); numerically equivalent up
     # to fp reassociation
     fold_tail: bool = True
+    # serving path: compute each folded MRF stack in one Pallas kernel
+    # (one HBM round trip instead of ~36; ops/fused_mrf.py). Measured
+    # perf-NEUTRAL at batch 64 (64.1 vs 63.1 ms/batch): the folded tail is
+    # MXU-bound at ~75% of peak on EXECUTED FLOPs (block-Toeplitz inflation
+    # 1.81x — see PERF.md round 2c), so removing HBM round trips buys
+    # nothing. Kept as tested infrastructure; off by default.
+    fused_mrf: bool = False
 
     @property
     def total_upsample(self) -> int:

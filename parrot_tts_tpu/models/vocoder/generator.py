@@ -123,6 +123,23 @@ def apply_resblock2(p: dict, x: jnp.ndarray, kernel_size: int,
     return x
 
 
+def _mrf_stage_fused(stage_rbs, x, cfg: VocoderModelConfig, g: int, dtype):
+    """Serving path: whole MRF stack in one Pallas kernel
+    (ops/fused_mrf.py) — one HBM round trip instead of ~36. Engages for
+    weight-norm-folded ResBlock1 params on folded (g > 1) stages; returns
+    None (caller runs the unfused composition) otherwise."""
+    if not cfg.fused_mrf or cfg.resblock != "1" or g <= 1:
+        return None
+    if any("v" in c for rb in stage_rbs for c in rb["convs1"]):
+        return None  # training params (weight norm live) — needs grads
+    from parrot_tts_tpu.ops import fused_mrf
+
+    flat, plan = fused_mrf.pack_mrf(
+        stage_rbs, g, cfg.resblock_kernel_sizes,
+        cfg.resblock_dilation_sizes, dtype)
+    return fused_mrf.mrf_fused(x, flat, plan)
+
+
 def init_generator(key, cfg: VocoderModelConfig) -> dict:
     n_ups = len(cfg.upsample_rates)
     keys = jax.random.split(key, 4 + n_ups + n_ups * len(cfg.resblock_kernel_sizes))
@@ -187,14 +204,18 @@ def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
             if want > 1 and x.shape[1] % want == 0:
                 x = folded_ops.fold(x, want)       # free reshape
                 g = want
-        acc = None
-        for j in range(nk):
-            rb = params["resblocks"][i * nk + j]
-            y = apply_rb(rb, x, cfg.resblock_kernel_sizes[j],
-                         cfg.resblock_dilation_sizes[j], precision=precision,
-                         dtype=dtype, g=g)
-            acc = y if acc is None else acc + y
-        x = acc / nk
+        stage_rbs = params["resblocks"][i * nk:(i + 1) * nk]
+        y = _mrf_stage_fused(stage_rbs, x, cfg, g, dtype)
+        if y is not None:
+            x = y
+        else:
+            acc = None
+            for j in range(nk):
+                y = apply_rb(stage_rbs[j], x, cfg.resblock_kernel_sizes[j],
+                             cfg.resblock_dilation_sizes[j],
+                             precision=precision, dtype=dtype, g=g)
+                acc = y if acc is None else acc + y
+            x = acc / nk
     # final leaky uses torch's DEFAULT slope 0.01 (reference models.py:107)
     x = jax.nn.leaky_relu(x, 0.01)
     x = _conv(x, _kernel(params["conv_post"], WN_AXES_CONV1D, dtype),

@@ -88,7 +88,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         kblk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         vblk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         s = _dot(q, kblk, _NT) * scale                # (bq, bk) f32
-        s = s + bias_ref[0, pl.ds(ki * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -101,7 +101,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         m = m_new
 
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0, :] = (m + jnp.log(l))[:, 0]
+    # lse replicated over 128 lanes (Mosaic block-shape alignment)
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), (bq, 128))
 
 
 def _forward(q, k, v, bias, seed, dropout_p, sm_scale, block_q, block_k):
@@ -119,20 +120,20 @@ def _forward(q, k, v, bias, seed, dropout_p, sm_scale, block_q, block_k):
             pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, t), lambda b, h, i: (b, 0)),
+            pl.BlockSpec((1, 1, t), lambda b, h, i: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((bsz, heads, t), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, heads, t, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(seed, q, k, v, bias)
+    )(seed, q, k, v, bias.reshape(bsz, 1, t))
     return o, lse
 
 
@@ -141,15 +142,16 @@ def _forward(q, k, v, bias, seed, dropout_p, sm_scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-               di_ref, dq_ref, *, scale, dropout_p, block_k, n_q, n_k):
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
+               lse_ref, dq_ref, *, scale, dropout_p, block_k, n_q, n_k):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     bh = b * pl.num_programs(1) + h
     q = q_ref[0, 0]
-    do = do_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
     bq = q.shape[0]
-    lse = jnp.reshape(lse_ref[0, 0, :], (bq, 1))
-    di = jnp.reshape(di_ref[0, 0, :], (bq, 1))
+    lse = lse_ref[0, 0][:, 0:1]
+    di = jnp.sum(do * o_ref[0, 0].astype(jnp.float32), axis=1,
+                 keepdims=True)
     inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
 
     acc = jnp.zeros(q.shape, jnp.float32)
@@ -157,7 +159,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         kblk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         vblk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         s = _dot(q, kblk, _NT) * scale
-        s = s + bias_ref[0, pl.ds(ki * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
         p = jnp.exp(s - lse)                          # true softmax probs
         dpd = _dot(do, vblk, _NT)                     # dO V^T
         if dropout_p > 0.0:
@@ -169,25 +171,24 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     dq_ref[0, 0] = acc.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                di_ref, dk_ref, dv_ref, *, scale, dropout_p, block_q,
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
+                lse_ref, dk_ref, dv_ref, *, scale, dropout_p, block_q,
                 n_q, n_k):
     b, h, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     bh = b * pl.num_programs(1) + h
     kblk = k_ref[0, 0]                                # (bk, dh)
     vblk = v_ref[0, 0]
-    bias = bias_ref[0, :][None, :]                    # (1, bk) this k block
+    bias = bias_ref[0, 0][None, :]                    # (1, bk) this k block
     inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
 
     dk = jnp.zeros(kblk.shape, jnp.float32)
     dv = jnp.zeros(vblk.shape, jnp.float32)
     for qi in range(n_q):
         q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-        lse = jnp.reshape(lse_ref[0, 0, pl.ds(qi * block_q, block_q)],
-                          (block_q, 1))
-        di = jnp.reshape(di_ref[0, 0, pl.ds(qi * block_q, block_q)],
-                         (block_q, 1))
+        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), 0:1]
+        di = jnp.sum(do * o_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+                     .astype(jnp.float32), axis=1, keepdims=True)
         s = _dot(q, kblk, _NT) * scale + bias
         p = jnp.exp(s - lse)                          # (bq, bk)
         dpd = _dot(do, vblk, _NT)
@@ -209,17 +210,17 @@ def _backward(q, k, v, bias, seed, o, lse, do, dropout_p, sm_scale,
               block_q, block_k):
     bsz, heads, t, dh = q.shape
     n_q, n_k = t // block_q, t // block_k
-    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    bias3 = bias.reshape(bsz, 1, t)
 
     row_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
         pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, t), lambda b, h, i: (b, 0)),
+        pl.BlockSpec((1, 1, t), lambda b, h, i: (b, 0, 0)),
         pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i)),
+        pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i: (b, h, i, 0)),
     ]
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=sm_scale, dropout_p=dropout_p,
@@ -232,17 +233,17 @@ def _backward(q, k, v, bias, seed, o, lse, do, dropout_p, sm_scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(seed, q, k, v, bias, do, lse, di)
+    )(seed, q, k, v, bias3, o, do, lse)
 
     col_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
         pl.BlockSpec((1, 1, block_k, dh), lambda b, h, i: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_k, dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, block_k), lambda b, h, i: (b, i)),
+        pl.BlockSpec((1, 1, block_k), lambda b, h, i: (b, 0, i)),
         pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, t), lambda b, h, i: (b, h, 0)),
-        pl.BlockSpec((1, 1, t), lambda b, h, i: (b, h, 0)),
+        pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, t, 128), lambda b, h, i: (b, h, 0, 0)),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=sm_scale, dropout_p=dropout_p,
@@ -260,7 +261,7 @@ def _backward(q, k, v, bias, seed, o, lse, do, dropout_p, sm_scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(seed, q, k, v, bias, do, lse, di)
+    )(seed, q, k, v, bias3, o, do, lse)
     return dq, dk, dv
 
 

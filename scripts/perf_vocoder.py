@@ -51,6 +51,59 @@ def generator_flops(cfg, t_codes: int) -> int:
     return total
 
 
+def generator_flops_executed(cfg, t_codes: int) -> int:
+    """EXECUTED MAC*2 count of the serving lowering — counts the folded
+    block-Toeplitz kernels' structured zeros (ops/folded.py inflation
+    ~ dilation for dilated convs, ~g/k for small kernels) and the
+    polyphase transposed-conv packing. The gap between this and
+    `generator_flops` is the price paid for full MXU lane occupancy at
+    C < 128."""
+    from parrot_tts_tpu.ops.conv import _polyphase_plan
+    from parrot_tts_tpu.ops.folded import _fold_plan
+
+    def folded_conv_flops(t_rows, ci, co, k, dil, g):
+        if g == 1:
+            return conv_flops(t_rows, ci, co, k)
+        pad = (k - 1) * dil // 2
+        kb, _, _ = _fold_plan(k, dil, pad, g)
+        return conv_flops(t_rows // g, g * ci, g * co, kb)
+
+    total = 0
+    t = t_codes
+    ch = cfg.upsample_initial_channel
+    total += conv_flops(t, cfg.model_in_dim, ch, 7)
+    g = 1
+    lane_target = 128
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                   cfg.upsample_kernel_sizes)):
+        cout = cfg.upsample_initial_channel // (2 ** (i + 1))
+        t *= u
+        _, _, _, pad_left, q_len = _polyphase_plan(k, u, (k - u) // 2)
+        if g > 1:
+            # folded transposed conv: polyphase kernel folded by g
+            kb, _, _ = _fold_plan(q_len, 1, pad_left, g)
+            total += conv_flops(t // (g * u), g * ch, g * u * cout, kb)
+            g *= u
+        else:
+            total += conv_flops(t // u, ch, u * cout, q_len)
+            if cfg.fold_tail:
+                want = max(1, lane_target // cout)
+                if want > 1:
+                    g = want
+        ch = cout
+        for rk, dil in zip(cfg.resblock_kernel_sizes,
+                           cfg.resblock_dilation_sizes):
+            for d in dil:
+                total += folded_conv_flops(t, ch, ch, rk, d, g)   # dilated
+                total += folded_conv_flops(t, ch, ch, rk, 1, g)   # plain
+    if g == 1:
+        total += conv_flops(t, ch, 1, 7)
+    else:
+        kb, _, _ = _fold_plan(7, 1, 3, g)
+        total += conv_flops(t // g, g * ch, g * 1, kb)
+    return total
+
+
 PEAK_BF16_TFLOPS = {
     # public peak bf16 TFLOP/s per chip
     "TPU v4": 275.0,
@@ -66,6 +119,9 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--codes", type=int, default=250)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--fused-mrf", action="store_true",
+                    help="A/B: enable the fused MRF Pallas kernel "
+                         "(default off; measured neutral — see PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +130,8 @@ def main():
     from parrot_tts_tpu.core.config import VocoderModelConfig
     from parrot_tts_tpu.models.vocoder import generator as gen
 
-    cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16")
+    cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16",
+                              fused_mrf=args.fused_mrf)
     sr = 16_000
     hop = cfg.total_upsample
     audio_s = args.batch * args.codes * hop / sr
@@ -114,21 +171,27 @@ def main():
     peak = next((v for k, v in PEAK_BF16_TFLOPS.items()
                  if k.lower() in str(kind).lower()), None)
 
+    flops_exec = generator_flops_executed(cfg, args.codes) * args.batch
     result = {
         "device_kind": str(kind),
         "batch": args.batch, "codes": args.codes,
         "flops_per_batch": flops,
         "flops_per_audio_second": round(flops / audio_s),
+        "executed_flops_per_batch": flops_exec,
+        "fold_inflation": round(flops_exec / flops, 3),
         "sync_ms_per_batch": round(sync_dt * 1e3, 2),
         "async_ms_per_batch": round(async_dt * 1e3, 2),
         "sync_audio_s_per_s": round(audio_s / sync_dt, 1),
         "async_audio_s_per_s": round(audio_s / async_dt, 1),
         "achieved_tflops_async": round(flops / async_dt / 1e12, 2),
+        "executed_tflops_async": round(flops_exec / async_dt / 1e12, 2),
     }
     if peak:
         result["peak_bf16_tflops"] = peak
         result["mfu_async_pct"] = round(100 * flops / async_dt / 1e12 / peak,
                                         2)
+        result["executed_mfu_pct"] = round(
+            100 * flops_exec / async_dt / 1e12 / peak, 2)
     print(json.dumps(result, indent=2))
 
 
