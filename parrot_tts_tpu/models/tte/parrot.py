@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from parrot_tts_tpu.core.config import TTEModelConfig
 from parrot_tts_tpu.models.tte import fft
+from parrot_tts_tpu.ops import attention as attn_ops
 from parrot_tts_tpu.ops import conv as conv_ops
 from parrot_tts_tpu.ops import init as init_ops
 from parrot_tts_tpu.ops import length_regulator as lr_ops
@@ -151,9 +152,15 @@ def _run_stack(layers, x, cfg: TTEModelConfig, stack_cfg, pad_mask,
             dropout_p=stack_cfg.dropout_p, dropout_rng=rng_i,
             deterministic=deterministic, precision=precision)
 
-    if cfg.remat and not deterministic and x.shape[1] >= cfg.remat_min_len:
+    d_head = cfg.d_model // stack_cfg.n_head
+    if (cfg.remat and not deterministic
+            and x.shape[1] >= cfg.remat_min_len
+            and not attn_ops.flash_available(x.shape[1], d_head)):
         # rematerialize per block: the XLA attention path otherwise saves
-        # (B, H, T, T) weights for backward — at T=3584 that dominates HBM
+        # (B, H, T, T) weights for backward — at T=3584 that dominates HBM.
+        # When the Pallas flash path engages, those saves never exist and
+        # recompute only costs time (measured: no-remat flash 24.5 vs
+        # rematerialized XLA 7.7 micro-steps/s at T=3584, PERF.md)
         block = jax.checkpoint(block)
     for i, lp in enumerate(layers):
         rng_i = (jax.random.fold_in(dropout_rng, i)

@@ -94,6 +94,15 @@ def _use_flash(t: int, d_head: int, dropout_p: float,
     passes use the stock Pallas kernel; training-with-attention-dropout (the
     reference recipe, modules/fft.py:49) uses ops/flash_dropout.py, which
     regenerates the keep-mask from a counter PRNG in fwd and bwd."""
+    return flash_available(t, d_head)
+
+
+def flash_available(t: int, d_head: int) -> bool:
+    """True when attention at this shape will run a Pallas flash kernel
+    (training AND inference). Callers use this to skip FFT-block remat:
+    flash never materializes the (B, H, T, T) scores whose backward saves
+    motivated remat, and the measured no-remat flash step is 3.2x the
+    rematerialized XLA step at T=3584 (PERF.md round 2b)."""
     if d_head % 128 or t % 128 or t < 512:
         return False
     return jax.default_backend() == "tpu"

@@ -21,10 +21,13 @@ Backward, with D = rowsum(dO . O):
     dS = P . (dP - D)     [rowsum(P.dP) = rowsum(Pd.(dO V^T)) = dO.O = D]
     dQ = scale dS K        dK = scale dS^T Q
 
-Tiling: grid (B, H, T/block) with the full per-(b,h) K/V rows resident in
-VMEM (T <= 3584, d_head 128: ~3.7 MB) — revisited blocks are not re-copied.
-Matmul operands are cast to bf16 (f32 accumulation), matching the XLA
-default-precision path the rest of the model uses.
+Tiling: 4D grids (B, H, outer-block, inner-block) with the online state
+(m, l, acc) carried in VMEM scratch across the innermost ("arbitrary")
+grid dimension — VMEM stays O(block^2) at any T (full-row K/V residency
+overflowed VMEM at T=3584 f32). Matmul operands are cast to bf16 (f32
+accumulation), matching the XLA default-precision path of the rest of the
+model. The log-sum-exp residual is stored lane-replicated (B, H, T, 128)
+to satisfy Mosaic block-shape alignment.
 """
 
 from __future__ import annotations
@@ -66,74 +69,99 @@ _NT = (((1,), (1,)), ((), ()))   # a @ b.T   (contract last with last)
 _NN = (((1,), (0,)), ((), ()))   # a @ b
 _TN = (((0,), (0,)), ((), ()))   # a.T @ b
 
+_SEMANTICS = ("parallel", "parallel", "parallel", "arbitrary")
+
+
+def _interpret() -> bool:
+    """Interpret mode off-TPU so CPU tests exercise the same code path
+    (interpret PRNG is unsupported on this JAX: dropout_p > 0 requires a
+    real TPU)."""
+    return jax.default_backend() != "tpu"
+
 
 # ---------------------------------------------------------------------------
-# forward
+# forward: grid (B, H, n_q, n_k), online state in scratch
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                scale, dropout_p, block_k, n_q, n_k):
-    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, dropout_p, n_q, n_k):
+    b, h = pl.program_id(0), pl.program_id(1)
+    qi, ki = pl.program_id(2), pl.program_id(3)
     bh = b * pl.num_programs(1) + h
-    q = q_ref[0, 0]                                   # (bq, dh)
-    bq = q.shape[0]
     inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
 
-    m = jnp.full((bq, 1), NEG_BIAS, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    @pl.when(ki == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, NEG_BIAS)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    for ki in range(n_k):
-        kblk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
-        vblk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
-        s = _dot(q, kblk, _NT) * scale                # (bq, bk) f32
-        s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        if dropout_p > 0.0:
-            keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
-                              (bq, block_k), dropout_p)
-            p = jnp.where(keep, p, 0.0) * inv_keep
-        acc = acc * alpha + _dot(p, vblk, _NN)
-        m = m_new
+    q = q_ref[0, 0]                                   # (bq, dh)
+    bq = q.shape[0]
+    kblk = k_ref[0, 0]                                # (bk, dh)
+    s = _dot(q, kblk, _NT) * scale                    # (bq, bk) f32
+    s = s + bias_ref[0, 0][None, :]
 
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    # lse replicated over 128 lanes (Mosaic block-shape alignment)
-    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), (bq, 128))
+    m = m_scr[:, 0:1]
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m - m_new)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if dropout_p > 0.0:
+        keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
+                          (bq, kblk.shape[0]), dropout_p)
+        p = jnp.where(keep, p, 0.0) * inv_keep
+    acc_scr[...] = acc_scr[...] * alpha + _dot(p, v_ref[0, 0], _NN)
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        l = l_scr[:, 0:1]
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        # lse replicated over 128 lanes (Mosaic block-shape alignment)
+        lse_ref[0, 0] = jnp.broadcast_to(m_scr[:, 0:1] + jnp.log(l),
+                                         (bq, 128))
 
 
 def _forward(q, k, v, bias, seed, dropout_p, sm_scale, block_q, block_k):
     bsz, heads, t, dh = q.shape
     n_q, n_k = t // block_q, t // block_k
-    grid = (bsz, heads, n_q)
+    bias3 = bias.reshape(bsz, 1, t)
     kern = functools.partial(_fwd_kernel, scale=sm_scale,
-                             dropout_p=dropout_p, block_k=block_k,
-                             n_q=n_q, n_k=n_k)
+                             dropout_p=dropout_p, n_q=n_q, n_k=n_k)
     o, lse = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(bsz, heads, n_q, n_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b, h, i, j: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct((bsz, heads, t, 128), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, dh), jnp.float32),    # output acc
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=_SEMANTICS),
         interpret=_interpret(),
-    )(seed, q, k, v, bias.reshape(bsz, 1, t))
+    )(seed, q, k, v, bias3)
     return o, lse
 
 
@@ -143,67 +171,79 @@ def _forward(q, k, v, bias, seed, dropout_p, sm_scale, block_q, block_k):
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
-               lse_ref, dq_ref, *, scale, dropout_p, block_k, n_q, n_k):
-    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+               lse_ref, dq_ref, dq_scr, *, scale, dropout_p, n_q, n_k):
+    b, h = pl.program_id(0), pl.program_id(1)
+    qi, ki = pl.program_id(2), pl.program_id(3)
     bh = b * pl.num_programs(1) + h
+    inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
     q = q_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
     bq = q.shape[0]
     lse = lse_ref[0, 0][:, 0:1]
     di = jnp.sum(do * o_ref[0, 0].astype(jnp.float32), axis=1,
                  keepdims=True)
-    inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
+    kblk = k_ref[0, 0]
+    s = _dot(q, kblk, _NT) * scale
+    s = s + bias_ref[0, 0][None, :]
+    p = jnp.exp(s - lse)                              # true softmax probs
+    dpd = _dot(do, v_ref[0, 0], _NT)                  # dO V^T
+    if dropout_p > 0.0:
+        keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
+                          (bq, kblk.shape[0]), dropout_p)
+        dpd = jnp.where(keep, dpd, 0.0) * inv_keep
+    ds = p * (dpd - di)
+    dq_scr[...] = dq_scr[...] + _dot(ds, kblk, _NN) * scale
 
-    acc = jnp.zeros(q.shape, jnp.float32)
-    for ki in range(n_k):
-        kblk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
-        vblk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
-        s = _dot(q, kblk, _NT) * scale
-        s = s + bias_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
-        p = jnp.exp(s - lse)                          # true softmax probs
-        dpd = _dot(do, vblk, _NT)                     # dO V^T
-        if dropout_p > 0.0:
-            keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
-                              (bq, block_k), dropout_p)
-            dpd = jnp.where(keep, dpd, 0.0) * inv_keep
-        ds = p * (dpd - di)
-        acc = acc + _dot(ds, kblk, _NN) * scale
-    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
+    @pl.when(ki == n_k - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref,
-                lse_ref, dk_ref, dv_ref, *, scale, dropout_p, block_q,
-                n_q, n_k):
-    b, h, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+                lse_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
+                dropout_p, n_q, n_k):
+    b, h = pl.program_id(0), pl.program_id(1)
+    ki, qi = pl.program_id(2), pl.program_id(3)
     bh = b * pl.num_programs(1) + h
+    inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
     kblk = k_ref[0, 0]                                # (bk, dh)
     vblk = v_ref[0, 0]
     bias = bias_ref[0, 0][None, :]                    # (1, bk) this k block
-    inv_keep = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
+    q = q_ref[0, 0]                                   # (bq, dh)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, 0:1]
+    di = jnp.sum(do * o_ref[0, 0].astype(jnp.float32), axis=1,
+                 keepdims=True)
 
-    dk = jnp.zeros(kblk.shape, jnp.float32)
-    dv = jnp.zeros(vblk.shape, jnp.float32)
-    for qi in range(n_q):
-        q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), 0:1]
-        di = jnp.sum(do * o_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-                     .astype(jnp.float32), axis=1, keepdims=True)
-        s = _dot(q, kblk, _NT) * scale + bias
-        p = jnp.exp(s - lse)                          # (bq, bk)
-        dpd = _dot(do, vblk, _NT)
-        if dropout_p > 0.0:
-            keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
-                              (block_q, kblk.shape[0]), dropout_p)
-            pd = jnp.where(keep, p, 0.0) * inv_keep
-            dpd = jnp.where(keep, dpd, 0.0) * inv_keep
-        else:
-            pd = p
-        dv = dv + _dot(pd, do, _TN)                   # Pd^T dO
-        ds = p * (dpd - di)
-        dk = dk + _dot(ds, q, _TN) * scale            # dS^T Q
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    s = _dot(q, kblk, _NT) * scale + bias
+    p = jnp.exp(s - lse)                              # (bq, bk)
+    dpd = _dot(do, vblk, _NT)
+    if dropout_p > 0.0:
+        keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
+                          (q.shape[0], kblk.shape[0]), dropout_p)
+        pd = jnp.where(keep, p, 0.0) * inv_keep
+        dpd = jnp.where(keep, dpd, 0.0) * inv_keep
+    else:
+        pd = p
+    dv_scr[...] = dv_scr[...] + _dot(pd, do, _TN)     # Pd^T dO
+    ds = p * (dpd - di)
+    dk_scr[...] = dk_scr[...] + _dot(ds, q, _TN) * scale   # dS^T Q
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _backward(q, k, v, bias, seed, o, lse, do, dropout_p, sm_scale,
@@ -212,64 +252,74 @@ def _backward(q, k, v, bias, seed, o, lse, do, dropout_p, sm_scale,
     n_q, n_k = t // block_q, t // block_k
     bias3 = bias.reshape(bsz, 1, t)
 
-    row_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, t), lambda b, h, i: (b, 0, 0)),
-        pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i: (b, h, i, 0)),
-    ]
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=sm_scale, dropout_p=dropout_p,
-                          block_k=block_k, n_q=n_q, n_k=n_k),
-        grid=(bsz, heads, n_q),
-        in_specs=row_specs,
+                          n_q=n_q, n_k=n_k),
+        grid=(bsz, heads, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b, h, i, j: (b, h, i, 0)),
+        ],
         out_specs=pl.BlockSpec((1, 1, block_q, dh),
-                               lambda b, h, i: (b, h, i, 0)),
+                               lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=_SEMANTICS),
         interpret=_interpret(),
     )(seed, q, k, v, bias3, o, do, lse)
 
-    col_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, block_k, dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k), lambda b, h, i: (b, 0, i)),
-        pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, t, dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, t, 128), lambda b, h, i: (b, h, 0, 0)),
-    ]
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=sm_scale, dropout_p=dropout_p,
-                          block_q=block_q, n_q=n_q, n_k=n_k),
-        grid=(bsz, heads, n_k),
-        in_specs=col_specs,
+                          n_q=n_q, n_k=n_k),
+        grid=(bsz, heads, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b, h, i, j: (b, h, j, 0)),
+        ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, dh),
+                         lambda b, h, i, j: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dh), jnp.float32),
+            pltpu.VMEM((block_k, dh), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=_SEMANTICS),
         interpret=_interpret(),
     )(seed, q, k, v, bias3, o, do, lse)
     return dq, dk, dv
-
-
-def _interpret() -> bool:
-    """Interpret mode off-TPU so CPU tests exercise the same code path
-    (interpret PRNG is unsupported on this JAX: dropout_p > 0 requires a
-    real TPU)."""
-    return jax.default_backend() != "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -317,23 +367,22 @@ def dump_keep_mask(bsz: int, heads: int, t: int, seed, dropout_p: float,
     n_q, n_k = t // block_q, t // block_k
 
     def kern(seed_ref, out_ref):
-        b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        b, h = pl.program_id(0), pl.program_id(1)
+        qi, ki = pl.program_id(2), pl.program_id(3)
         bh = b * pl.num_programs(1) + h
-        for ki in range(n_k):
-            keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
-                              (block_q, block_k), dropout_p)
-            out_ref[0, 0, :, pl.ds(ki * block_k, block_k)] = keep.astype(
-                jnp.int32)
+        keep = _keep_mask(seed_ref, bh, qi, ki, n_q, n_k,
+                          (block_q, block_k), dropout_p)
+        out_ref[0, 0] = keep.astype(jnp.int32)
 
     return pl.pallas_call(
         kern,
-        grid=(bsz, heads, n_q),
+        grid=(bsz, heads, n_q, n_k),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, 1, block_q, t),
-                               lambda b, h, i: (b, h, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, block_q, block_k),
+                               lambda b, h, i, j: (b, h, i, j)),
         out_shape=jax.ShapeDtypeStruct((bsz, heads, t, t), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=_SEMANTICS),
         interpret=_interpret(),
     )(seed)
 
