@@ -86,7 +86,12 @@ def bench_ab():
     out_proj = jnp.asarray(
         rng.standard_normal((d_model, d_model)).astype(np.float32) * 0.05)
 
-    for b, t in [(6, 512), (6, 1024), (6, 3584)]:
+    # The first timed queue of a process measures ~60 ms/iter regardless of
+    # shape (relay warm-up beyond the per-config compile warmups); burn one
+    # throwaway config so the recorded numbers are steady-state.
+    configs = [(6, 512), (6, 512), (6, 1024), (6, 3584)]
+    burn_in = True
+    for b, t in configs:
         x = jnp.asarray(
             rng.standard_normal((b, t, d_model)).astype(np.float32))
         kpm = np.zeros((b, t), bool)
@@ -115,6 +120,9 @@ def bench_ab():
 
         ms_flash = run(False)
         ms_xla = run(True)
+        if burn_in:
+            burn_in = False
+            continue
         print(f"B={b} T={t}: fwd+bwd flash-dropout {ms_flash:.2f} ms | "
               f"XLA {ms_xla:.2f} ms | speedup {ms_xla/ms_flash:.2f}x")
 
