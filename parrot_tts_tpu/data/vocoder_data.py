@@ -96,11 +96,23 @@ class VocoderDataset:
 
 
 class VocoderLoader:
-    """Deterministic epoch iterator with per-host sharding; fixed shapes."""
+    """Deterministic epoch iterator with per-host sharding; fixed shapes.
+
+    Batch semantics match ``BucketedLoader`` (data/tte_data.py): `batch_size`
+    is the GLOBAL batch; it must divide by `process_count`, and every host
+    derives the identical global schedule from the shared seed, then takes
+    its contiguous `batch_size / process_count` slice of each global batch
+    (the reference divides its global batch across DDP workers the same way,
+    `utils/vocoder/train.py:279`)."""
 
     def __init__(self, dataset: VocoderDataset, batch_size: int,
                  seed: int = 1234, shuffle: bool = True,
                  process_index: int = 0, process_count: int = 1):
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size={batch_size} must be divisible by "
+                f"process_count={process_count} (each host takes an equal "
+                f"slice of every global batch)")
         self.ds = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -113,13 +125,15 @@ class VocoderLoader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
-        order = order[self.process_index :: self.process_count]
         if 0 < len(order) < self.batch_size:
             # tiny datasets: cycle indices so one static-shape batch exists
             order = np.resize(order, self.batch_size)
+        local = self.batch_size // self.process_count
         n_full = len(order) // self.batch_size
         for b in range(n_full):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            idxs = idxs[self.process_index * local
+                        : (self.process_index + 1) * local]
             items = [self.ds.load_item(i, rng) for i in idxs]
             yield {
                 "audio": np.stack([it["audio"] for it in items]),

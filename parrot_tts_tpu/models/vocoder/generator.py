@@ -70,19 +70,30 @@ def init_resblock1(key, channels: int, kernel_size: int,
     }
 
 
-def _conv(x, w, b, *, padding, dilation=1, g=1, precision=None):
+def _conv(x, w, b, *, padding, dilation=1, g=1, precision=None, quant=False):
     """Dispatch: plain channels-last conv, or the folded-layout equivalent
-    when the activations are g-folded (ops/folded.py)."""
+    when the activations are g-folded (ops/folded.py). quant routes the
+    packed conv to the int8 MXU path (ops/quant.py)."""
     if g == 1:
         return conv_ops.conv1d(x, w, b, padding=padding, dilation=dilation,
-                               precision=precision)
+                               precision=precision, quant=quant)
     return folded_ops.folded_conv1d(x, w, b, g=g, padding=padding,
-                                    dilation=dilation, precision=precision)
+                                    dilation=dilation, precision=precision,
+                                    quant=quant)
+
+
+def _quant_stage(cfg: VocoderModelConfig, g: int) -> bool:
+    """Should this MRF/upsample site run int8? (see VocoderModelConfig.quant)"""
+    if cfg.quant == "int8":
+        return True
+    if cfg.quant == "int8-tail":
+        return g > 1
+    return False
 
 
 def apply_resblock1(p: dict, x: jnp.ndarray, kernel_size: int,
                     dilations: tuple[int, ...], precision=None,
-                    dtype=None, g: int = 1) -> jnp.ndarray:
+                    dtype=None, g: int = 1, quant: bool = False) -> jnp.ndarray:
     """ResBlock1 (reference models.py:13-44): pairs of (dilated, plain) convs
     with leaky relus and residual adds."""
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
@@ -90,12 +101,12 @@ def apply_resblock1(p: dict, x: jnp.ndarray, kernel_size: int,
         xt = _conv(xt, _kernel(c1, WN_AXES_CONV1D, dtype),
                    c1["b"].astype(x.dtype),
                    padding=conv_ops.get_padding(kernel_size, d),
-                   dilation=d, g=g, precision=precision)
+                   dilation=d, g=g, precision=precision, quant=quant)
         xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
         xt = _conv(xt, _kernel(c2, WN_AXES_CONV1D, dtype),
                    c2["b"].astype(x.dtype),
                    padding=conv_ops.get_padding(kernel_size, 1),
-                   g=g, precision=precision)
+                   g=g, precision=precision, quant=quant)
         x = xt + x
     return x
 
@@ -111,14 +122,14 @@ def init_resblock2(key, channels: int, kernel_size: int,
 
 def apply_resblock2(p: dict, x: jnp.ndarray, kernel_size: int,
                     dilations: tuple[int, ...], precision=None,
-                    dtype=None, g: int = 1) -> jnp.ndarray:
+                    dtype=None, g: int = 1, quant: bool = False) -> jnp.ndarray:
     """ResBlock2 (reference models.py:47-66)."""
     for c, d in zip(p["convs"], dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
         xt = _conv(xt, _kernel(c, WN_AXES_CONV1D, dtype),
                    c["b"].astype(x.dtype),
                    padding=conv_ops.get_padding(kernel_size, d),
-                   dilation=d, g=g, precision=precision)
+                   dilation=d, g=g, precision=precision, quant=quant)
         x = xt + x
     return x
 
@@ -130,7 +141,10 @@ def _mrf_stage_fused(stage_rbs, x, cfg: VocoderModelConfig, g: int, dtype):
     None (caller runs the unfused composition) otherwise."""
     if not cfg.fused_mrf or cfg.resblock != "1" or g <= 1:
         return None
-    if any("v" in c for rb in stage_rbs for c in rb["convs1"]):
+    if _quant_stage(cfg, g):
+        return None  # int8 path supersedes the (perf-neutral) fused kernel
+    if any("v" in c for rb in stage_rbs
+           for name in ("convs1", "convs2") for c in rb[name]):
         return None  # training params (weight norm live) — needs grads
     from parrot_tts_tpu.ops import fused_mrf
 
@@ -194,12 +208,14 @@ def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
             x = folded_ops.folded_conv_transpose1d(
                 x, _kernel(up, WN_AXES_CONV_T1D, dtype),
                 up["b"].astype(dtype), g_in=g, stride=u,
-                padding=(k - u) // 2, precision=precision)
+                padding=(k - u) // 2, precision=precision,
+                quant=_quant_stage(cfg, g))
             g *= u
         else:
             x = conv_ops.conv_transpose1d(
                 x, _kernel(up, WN_AXES_CONV_T1D, dtype), up["b"].astype(dtype),
-                stride=u, padding=(k - u) // 2, precision=precision)
+                stride=u, padding=(k - u) // 2, precision=precision,
+                quant=_quant_stage(cfg, 1))
             want = max(1, lane_target // cout) if cfg.fold_tail else 1
             if want > 1 and x.shape[1] % want == 0:
                 x = folded_ops.fold(x, want)       # free reshape
@@ -213,7 +229,8 @@ def apply_generator(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
             for j in range(nk):
                 y = apply_rb(stage_rbs[j], x, cfg.resblock_kernel_sizes[j],
                              cfg.resblock_dilation_sizes[j],
-                             precision=precision, dtype=dtype, g=g)
+                             precision=precision, dtype=dtype, g=g,
+                             quant=_quant_stage(cfg, g))
                 acc = y if acc is None else acc + y
             x = acc / nk
     # final leaky uses torch's DEFAULT slope 0.01 (reference models.py:107)

@@ -179,7 +179,7 @@ def mrf_fused(x: jnp.ndarray, flat_weights: list[jnp.ndarray],
     return pl.pallas_call(
         kern,
         grid=(bsz, n_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights],
         out_specs=pl.BlockSpec((1, tb, c), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),

@@ -41,10 +41,14 @@ def run(cfg: PipelineConfig, *, data_dir: str | Path,
 
     mesh = meshlib.create_mesh()
     n_data = mesh.shape[cfg.mesh.data_axis]
-    # reference divides the global batch across workers (train.py:279)
-    local_batch = max(1, tcfg.batch_size // n_data) * n_data
-    loader = VocoderLoader(train_ds, local_batch, seed=tcfg.seed)
-    steps_per_epoch = max(1, len(train_ds) // local_batch)
+    # GLOBAL batch, rounded to the data-axis size so shard_batch tiles it;
+    # the reference divides its global batch across workers (train.py:279) —
+    # here VocoderLoader does that via process_index/process_count
+    global_batch = max(1, tcfg.batch_size // n_data) * n_data
+    loader = VocoderLoader(train_ds, global_batch, seed=tcfg.seed,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
+    steps_per_epoch = max(1, len(train_ds) // global_batch)
 
     state = voc_train.init_state(jax.random.key(tcfg.seed), mcfg, tcfg,
                                  steps_per_epoch)
@@ -58,7 +62,8 @@ def run(cfg: PipelineConfig, *, data_dir: str | Path,
 
     writer = MetricsWriter(run_dir / "logs")
     thr = Throughput()
-    audio_s_per_batch = local_batch * tcfg.segment_size / mel_cfg.sampling_rate
+    audio_s_per_batch = (global_batch * tcfg.segment_size
+                         / mel_cfg.sampling_rate)
 
     steps = int(state.step)
     total = max_steps if max_steps is not None else (

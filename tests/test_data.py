@@ -159,6 +159,42 @@ def test_vocoder_dataset_segment(tmp_path, rng):
         assert np.abs(item["audio"]).max() <= 0.95 + 1e-5
 
 
+def test_vocoder_loader_global_batch_semantics(tmp_path, rng):
+    """VocoderLoader takes the GLOBAL batch (BucketedLoader semantics): it
+    rejects non-divisible process counts, and the per-host slices of each
+    global batch tile it exactly."""
+    from parrot_tts_tpu.data.vocoder_data import VocoderDataset, VocoderLoader
+
+    hop, seg = 16, 256
+    entries = []
+    for i in range(8):
+        wav = (rng.standard_normal(2000) * 0.3).astype(np.float32)
+        p = tmp_path / f"en_f_{i:03d}.wav"
+        audio_io.write_wav(p, wav, 16000)
+        codes = rng.integers(0, 50, size=2000 // hop)
+        entries.append({"audio": str(p),
+                        "hubert": " ".join(map(str, codes))})
+    write_manifest(tmp_path / "train.txt", entries)
+    ds = VocoderDataset(tmp_path / "train.txt", segment_size=seg,
+                        code_hop_size=hop, multispkr="_")
+
+    with pytest.raises(ValueError, match="divisible"):
+        VocoderLoader(ds, 4, process_count=3)
+
+    whole = list(VocoderLoader(ds, 4, seed=5).batches(epoch=0))
+    parts = [list(VocoderLoader(ds, 4, seed=5, process_index=pi,
+                                process_count=2).batches(epoch=0))
+             for pi in range(2)]
+    assert len(whole) == 2 and all(len(p) == 2 for p in parts)
+    for b, (p0, p1) in zip(whole, zip(*parts)):
+        assert p0["audio"].shape == (2, seg) == p1["audio"].shape
+        # hosts tile the identical global schedule (codes identify items;
+        # crops differ per host RNG stream, so compare codes not audio)
+        np.testing.assert_array_equal(
+            np.concatenate([p0["spkr"], p1["spkr"]]), b["spkr"])
+        assert (p0["filenames"] + p1["filenames"]) == b["filenames"]
+
+
 @pytest.mark.skipif(not reference_oracle.available(),
                     reason="reference mount not present")
 def test_reference_config_loaders():
