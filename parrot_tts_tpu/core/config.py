@@ -173,6 +173,16 @@ class VocoderModelConfig:
     # 1.81x — see PERF.md round 2c), so removing HBM round trips buys
     # nothing. Kept as tested infrastructure; off by default.
     fused_mrf: bool = False
+    # int8 MXU serving path (ops/quant.py): "none" | "int8-tail" | "int8".
+    # The folded serving graph is MXU-bound at 75% of the bf16 peak on
+    # executed FLOPs (PERF.md round 2c), so the remaining lever is rate:
+    # v5e int8 runs 2x bf16. "int8-tail" quantizes only the folded
+    # (lane-packed) stages; "int8" also quantizes the unfolded MRF stages
+    # and upsamples. conv_pre and conv_post always stay in `dtype`
+    # (embedding head / waveform tail are fidelity-critical). Serving-only:
+    # the quantized path defines no custom VJP. Fidelity bounds are
+    # measured on hardware like the bf16 path's (scripts/tpu_parity_check).
+    quant: str = "none"
 
     @property
     def total_upsample(self) -> int:
@@ -212,6 +222,10 @@ class VocoderTrainConfig:
     training_epochs: int = 2000
     checkpoint_interval: int = 10_000
     summary_interval: int = 100
+    # discriminator compute dtype (params stay f32; loss reductions are f32
+    # regardless). bfloat16 halves the D-side MXU time of the GAN step —
+    # measured lever in bench_gan.py.
+    disc_dtype: str = "float32"
     validation_interval: int = 1000
 
     @classmethod

@@ -29,8 +29,16 @@ def conv1d(
     dilation: int = 1,
     groups: int = 1,
     precision=None,
+    quant: bool = False,
 ) -> jnp.ndarray:
-    """torch.nn.functional.conv1d on (B, T, Cin) with w (K, Cin/groups, Cout)."""
+    """torch.nn.functional.conv1d on (B, T, Cin) with w (K, Cin/groups, Cout).
+    quant=True (stride 1, no groups) runs the int8 MXU path (ops/quant.py)."""
+    if quant:
+        assert stride == 1 and groups == 1, "int8 path: stride-1 dense only"
+        from parrot_tts_tpu.ops import quant as quant_ops
+
+        return quant_ops.int8_conv_nwc(x, w, b, pads=(padding, padding),
+                                       rhs_dilation=dilation)
     out = jax.lax.conv_general_dilated(
         x,
         w,
@@ -56,6 +64,7 @@ def conv_transpose1d(
     padding: int = 0,
     precision=None,
     polyphase: bool = True,
+    quant: bool = False,
 ) -> jnp.ndarray:
     """torch.nn.ConvTranspose1d on (B, T, Cin), w (K, Cin, Cout).
 
@@ -75,7 +84,8 @@ def conv_transpose1d(
     k = w.shape[0]
     if polyphase and stride > 1 and k - 2 * padding == stride:
         return _conv_transpose1d_polyphase(x, w, b, stride, padding,
-                                           precision)
+                                           precision, quant=quant)
+    assert not quant, "int8 path requires the polyphase configuration"
     w_flip = jnp.flip(w, axis=0)
     out = jax.lax.conv_general_dilated(
         x,
@@ -127,11 +137,22 @@ def polyphase_weights(w, stride, padding):
     return w2, pad_left, q_len
 
 
-def _conv_transpose1d_polyphase(x, w, b, stride, padding, precision):
+def _conv_transpose1d_polyphase(x, w, b, stride, padding, precision,
+                                quant=False):
     k, cin, cout = w.shape
     u = stride
     w2, pad_left, q_len = polyphase_weights(w, u, padding)
 
+    if quant:
+        from parrot_tts_tpu.ops import quant as quant_ops
+
+        y = quant_ops.int8_conv_nwc(x, w2, None,
+                                    pads=(pad_left, q_len - 1 - pad_left))
+        bsz, t = x.shape[0], x.shape[1]
+        out = y.reshape(bsz, t * u, cout)
+        if b is not None:
+            out = out + b
+        return out
     y = jax.lax.conv_general_dilated(
         x, w2.astype(w.dtype),
         window_strides=(1,),

@@ -93,14 +93,21 @@ def fold_conv1d_kernel(w: jnp.ndarray, *, dilation: int, pad_left: int,
 def folded_conv1d(xf: jnp.ndarray, w: jnp.ndarray,
                   b: jnp.ndarray | None = None, *, g: int,
                   padding: int = 0, dilation: int = 1,
-                  precision=None) -> jnp.ndarray:
+                  precision=None, quant: bool = False) -> jnp.ndarray:
     """conv1d(unfold(xf), w, padding, dilation) folded by g, computed
     without leaving the folded layout. Same-length convs only
-    (2*padding == dilation*(K-1)), which covers every MRF/post conv."""
+    (2*padding == dilation*(K-1)), which covers every MRF/post conv.
+    quant=True runs the packed conv on the int8 MXU path (ops/quant.py)."""
     k = w.shape[0]
     assert 2 * padding == dilation * (k - 1), (k, padding, dilation)
     wb, (pl, pr) = fold_conv1d_kernel(w, dilation=dilation, pad_left=padding,
                                       g=g)
+    if quant:
+        from parrot_tts_tpu.ops import quant as quant_ops
+
+        return quant_ops.int8_conv_nwc(
+            xf, wb, jnp.tile(b, g) if b is not None else None,
+            pads=(pl, pr))
     y = jax.lax.conv_general_dilated(
         xf, wb.astype(xf.dtype),
         window_strides=(1,),
@@ -117,7 +124,7 @@ def folded_conv1d(xf: jnp.ndarray, w: jnp.ndarray,
 def folded_conv_transpose1d(xf: jnp.ndarray, w: jnp.ndarray,
                             b: jnp.ndarray | None = None, *, g_in: int,
                             stride: int, padding: int,
-                            precision=None) -> jnp.ndarray:
+                            precision=None, quant: bool = False) -> jnp.ndarray:
     """ConvTranspose1d on a g_in-folded input, producing a
     (g_in*stride)-folded output directly (no unfold/refold).
 
@@ -134,6 +141,12 @@ def folded_conv_transpose1d(xf: jnp.ndarray, w: jnp.ndarray,
     # (pad_left, q_len-1-pad_left) — fold it by g_in.
     wb, (pl, pr) = fold_conv1d_kernel(w2, dilation=1, pad_left=pad_left,
                                       g=g_in)
+    if quant:
+        from parrot_tts_tpu.ops import quant as quant_ops
+
+        return quant_ops.int8_conv_nwc(
+            xf, wb, jnp.tile(b, g_in * u) if b is not None else None,
+            pads=(pl, pr))
     y = jax.lax.conv_general_dilated(
         xf, wb.astype(xf.dtype),
         window_strides=(1,),

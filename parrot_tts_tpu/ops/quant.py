@@ -1,0 +1,93 @@
+"""Dynamic int8 quantized convolution for the vocoder serving path.
+
+Why: PERF.md round 2c showed the folded serving graph is MXU-bound at 75%
+of the chip's bf16 peak on EXECUTED FLOPs — the 1.81x block-Toeplitz
+structured-zero inflation is the measured-optimal price of full lane
+occupancy, so the remaining throughput lever is arithmetic RATE, not
+scheduling. TPU v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197
+TOPS/TFLOPS); quantizing the conv operands to int8 halves the time of every
+MXU-resident stage at a measured, bounded fidelity cost (reported next to
+the bf16 bound — see scripts/tpu_parity_check.py).
+
+Scheme (standard symmetric dynamic PTQ):
+  * weights: per-output-channel symmetric scales over the PACKED kernel
+    (block-Toeplitz / polyphase packing happens first, quantization last,
+    so every out lane of the actual matmul gets its own scale);
+  * activations: per-tensor dynamic absmax scale computed on device per
+    call — no calibration corpus, robust to any checkpoint;
+  * accumulation in int32 on the MXU, dequantize fused into the epilogue:
+    y = acc * (s_x * s_w[co]) + bias, then the usual leaky-relu / residual
+    algebra continues in the compute dtype.
+
+Every conv lowering in this codebase (plain NWC conv, the polyphase
+transposed conv, the folded block-Toeplitz conv, the folded transposed
+conv) bottoms out in ONE stride-1 NWC `lax.conv_general_dilated` on a
+packed kernel, so this module only needs that single primitive.
+
+Reference hot loop this accelerates: `/root/reference/utils/vocoder/
+models.py:13-44,95-111` (the reference serves it in fp16-free f32 CUDA;
+precision policy is ours to choose and to bound, like bf16 was).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# int8 symmetric range. 127 (not 128) keeps the grid symmetric so
+# quantize(-x) == -quantize(x) and the MXU never sees -128.
+QMAX = 127.0
+
+
+def _absmax(x: jnp.ndarray, axes) -> jnp.ndarray:
+    m = jnp.max(jnp.abs(x), axis=axes, keepdims=False)
+    # guard all-zero operands: scale 1 maps 0 -> 0
+    return jnp.where(m > 0, m, 1.0).astype(jnp.float32)
+
+
+def quantize_per_tensor(x: jnp.ndarray):
+    """x (any shape) -> (int8 values, scalar f32 scale)."""
+    scale = _absmax(x, None) / QMAX
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_per_out_channel(w: jnp.ndarray):
+    """w (K, Ci, Co) -> (int8 values, (Co,) f32 scales)."""
+    scale = _absmax(w, (0, 1)) / QMAX
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale[None, None, :]),
+                 -QMAX, QMAX)
+    return q.astype(jnp.int8), scale
+
+
+def int8_conv_nwc(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    pads: tuple[int, int],
+    rhs_dilation: int = 1,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Stride-1 NWC conv with both operands dynamically quantized to int8.
+
+    x: (B, T, Ci) float; w: (K, Ci, Co) float (already packed by the
+    caller's lowering). Returns (B, T', Co) in out_dtype (default x.dtype).
+    Matches the float conv up to the quantization error bounded by the
+    per-tensor/per-channel scales.
+    """
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quantize_per_tensor(x)
+    wq, sw = quantize_per_out_channel(w)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq,
+        window_strides=(1,),
+        padding=(pads,),
+        rhs_dilation=(rhs_dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * sw)[None, None, :]
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out_dtype)

@@ -1,0 +1,144 @@
+"""int8 serving-path tests (ops/quant.py).
+
+Semantic anchor: the int8 conv must EXACTLY equal the float conv computed
+on the dequantized operands (the quantization error is then fully
+characterized by the scales). Model-level: the quantized generator must
+stay within a loose fidelity envelope of the f32 forward on CPU; the tight
+hardware bounds (SNR / mel-L1, like the bf16 path's) are measured on the
+real chip by scripts/tpu_parity_check.py.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parrot_tts_tpu.core.config import VocoderModelConfig
+from parrot_tts_tpu.ops import conv as conv_ops
+from parrot_tts_tpu.ops import folded as folded_ops
+from parrot_tts_tpu.ops import quant
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_quantize_symmetric(rng):
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    q, s = quant.quantize_per_tensor(x)
+    qn, sn = quant.quantize_per_tensor(-x)
+    assert q.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(qn), -np.asarray(q))
+    assert float(s) == float(sn)
+    assert int(np.abs(np.asarray(q)).max()) == 127
+
+
+def test_quantize_zero_guard():
+    q, s = quant.quantize_per_tensor(jnp.zeros((3, 3), jnp.float32))
+    assert float(s) > 0 and int(np.abs(np.asarray(q)).max()) == 0
+    wq, sw = quant.quantize_per_out_channel(jnp.zeros((3, 4, 5), jnp.float32))
+    assert np.all(np.asarray(sw) > 0)
+
+
+def test_int8_conv_matches_dequant_oracle(rng):
+    x = jnp.asarray(rng.standard_normal((2, 48, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((5, 16, 8)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    y = quant.int8_conv_nwc(x, w, b, pads=(4, 4), rhs_dilation=2)
+
+    xq, sx = quant.quantize_per_tensor(x)
+    wq, sw = quant.quantize_per_out_channel(w)
+    ref = conv_ops.conv1d(
+        xq.astype(jnp.float32) * sx,
+        wq.astype(jnp.float32) * sw[None, None, :], b,
+        padding=4, dilation=2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_conv_error_bound(rng):
+    """|quant - float| is bounded by the first-order scale budget."""
+    k, ci, co = 3, 32, 32
+    x = jnp.asarray(rng.standard_normal((1, 64, ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, ci, co)) * 0.1, jnp.float32)
+    y_q = quant.int8_conv_nwc(x, w, None, pads=(1, 1))
+    y_f = conv_ops.conv1d(x, w, None, padding=1)
+    sx = float(jnp.abs(x).max()) / 127
+    sw = np.asarray(jnp.max(jnp.abs(w), axis=(0, 1))) / 127
+    # per-output worst case: sum over k*ci taps of (|x| sw/2 + |w| sx/2 + ...)
+    budget = k * ci * (sx * np.abs(np.asarray(w)).max()
+                       + sw.max() * float(jnp.abs(x).max()))
+    assert float(jnp.abs(y_q - y_f).max()) < 0.5 * budget
+
+
+def test_folded_quant_conv_close_to_float(rng):
+    g, ci, k, d = 4, 32, 3, 3
+    xf = jnp.asarray(rng.standard_normal((2, 24, g * ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, ci, ci)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(ci) * 0.1, jnp.float32)
+    pad = conv_ops.get_padding(k, d)
+    y_f = folded_ops.folded_conv1d(xf, w, b, g=g, padding=pad, dilation=d)
+    y_q = folded_ops.folded_conv1d(xf, w, b, g=g, padding=pad, dilation=d,
+                                   quant=True)
+    err = float(jnp.abs(y_q - y_f).max()) / float(jnp.abs(y_f).max())
+    assert err < 0.05, f"relative int8 error {err}"
+
+
+def test_polyphase_transpose_quant_close_to_float(rng):
+    u, k, cin, cout = 4, 8, 32, 16
+    x = jnp.asarray(rng.standard_normal((2, 20, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout) * 0.1, jnp.float32)
+    y_f = conv_ops.conv_transpose1d(x, w, b, stride=u, padding=(k - u) // 2)
+    y_q = conv_ops.conv_transpose1d(x, w, b, stride=u, padding=(k - u) // 2,
+                                    quant=True)
+    assert y_q.shape == y_f.shape
+    err = float(jnp.abs(y_q - y_f).max()) / float(jnp.abs(y_f).max())
+    assert err < 0.05, f"relative int8 error {err}"
+
+
+def test_folded_transpose_quant_close_to_float(rng):
+    g, u, k, cin, cout = 2, 2, 4, 32, 16
+    xf = jnp.asarray(rng.standard_normal((2, 16, g * cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout) * 0.1, jnp.float32)
+    y_f = folded_ops.folded_conv_transpose1d(
+        xf, w, b, g_in=g, stride=u, padding=(k - u) // 2)
+    y_q = folded_ops.folded_conv_transpose1d(
+        xf, w, b, g_in=g, stride=u, padding=(k - u) // 2, quant=True)
+    assert y_q.shape == y_f.shape
+    err = float(jnp.abs(y_q - y_f).max()) / float(jnp.abs(y_f).max())
+    assert err < 0.05, f"relative int8 error {err}"
+
+
+TINY = dict(
+    resblock="1", upsample_rates=(4, 4, 2), upsample_kernel_sizes=(8, 8, 4),
+    upsample_initial_channel=128, resblock_kernel_sizes=(3, 7),
+    resblock_dilation_sizes=((1, 3), (1, 3)), num_embeddings=40,
+    embedding_dim=16, model_in_dim=32, multispkr="_", num_speakers=4)
+
+
+@pytest.mark.parametrize("mode", ["int8-tail", "int8"])
+def test_generator_int8_modes(rng, mode):
+    from parrot_tts_tpu.models.vocoder import generator as gen
+
+    cfg_f = VocoderModelConfig(**TINY)
+    cfg_q = dataclasses.replace(cfg_f, quant=mode)
+    params = gen.fold_params(
+        gen.init_code_generator(jax.random.key(0), cfg_f))
+    code = jnp.asarray(rng.integers(0, 40, size=(2, 24)).astype(np.int32))
+    spkr = jnp.asarray(rng.integers(0, 4, size=(2,)).astype(np.int32))
+
+    y_f = np.asarray(gen.apply_code_generator(params, code, spkr, cfg_f))
+    y_q = np.asarray(gen.apply_code_generator(params, code, spkr, cfg_q))
+    assert y_q.shape == y_f.shape
+    assert np.all(np.isfinite(y_q))
+    # loose CPU envelope on a random-init net; tight bounds are measured on
+    # hardware at reference scale (scripts/tpu_parity_check.py)
+    snr = 10 * np.log10(float((y_f ** 2).mean())
+                        / max(float(((y_f - y_q) ** 2).mean()), 1e-12))
+    assert snr > 15.0, f"int8 CPU SNR {snr:.1f} dB"
