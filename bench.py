@@ -1,9 +1,10 @@
-"""Headline benchmark: vocoder synthesis audio-seconds/s/chip.
+"""Headline benchmark: vocoder synthesis audio-s/s/chip + TTE train steps/s.
 
-Runs the full-size unit HiFi-GAN V1 CodeGenerator (reference
+Vocoder: the full-size unit HiFi-GAN V1 CodeGenerator (reference
 utils/vocoder/config.json topology: 512 initial channels, x320 upsample,
 ~14M params) with folded weight norm — the serving configuration
 (reference utils/vocoder/inference.py:137 removes weight norm too).
+TTE: the reference-config training step (see bench_tte.run).
 
 The reference publishes no numbers (BASELINE.md); it instruments RTF
 (real-time factor) per utterance (utils/vocoder/inference.py:65-74).
@@ -11,28 +12,34 @@ The reference publishes no numbers (BASELINE.md); it instruments RTF
 (RTF^-1): 1.0 would mean the chip generates audio exactly as fast as it
 plays; higher is better.
 
-Prints ONE JSON line on stdout.
+Prints one JSON line per metric; the HEADLINE (vocoder synthesis) line is
+LAST. The TTE result is also embedded in the headline's detail so a
+single-line parser still records both.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def main():
+def run_vocoder(quant: str = "none", tte_result: dict | None = None) -> dict:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from parrot_tts_tpu.core.config import VocoderModelConfig
     from parrot_tts_tpu.models.vocoder import generator as gen
 
-    import dataclasses
-
     # reference V1 topology; bf16 serving precision (max waveform deviation
-    # vs f32 measured at ~9e-4, about -40 dB — parity tests stay f32)
-    cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16")
+    # vs f32 measured at ~9e-4, about -40 dB — parity tests stay f32).
+    # quant="int8"/"int8-tail" additionally runs conv stacks on the int8
+    # MXU (2x bf16 peak); fidelity bounds in scripts/tpu_parity_check.py.
+    cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16",
+                              quant=quant)
     sr = 16_000
     hop = cfg.total_upsample             # 320
     batch, code_len = 64, 250            # 64 x 5.0 s utterances per batch
@@ -72,16 +79,50 @@ def main():
     dt = time.perf_counter() - t0
 
     audio_seconds_per_second = audio_seconds_per_batch * iters / dt
-    print(json.dumps({
+    out = {
         "metric": "vocoder_synth_audio_seconds_per_second_per_chip",
         "value": round(audio_seconds_per_second, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(audio_seconds_per_second, 2),
-    }))
+        "detail": {"batch": batch, "code_len": code_len,
+                   "dtype": cfg.dtype, "quant": quant},
+    }
+    if tte_result is not None:
+        out["detail"]["tte_train"] = {
+            "micro_steps_per_s": tte_result.get("value"),
+            **tte_result.get("detail", {}),
+        }
+    return out
+
+
+def main():
+    # default decided by measured fidelity+perf on hardware (PERF.md r3);
+    # "none" until the int8 path earns the headline
+    quant = os.environ.get("BENCH_QUANT", "none")
+    if "--quant" in sys.argv:
+        quant = sys.argv[sys.argv.index("--quant") + 1]
+
+    # TTE training metric first (its line precedes the headline)
+    tte_result = None
+    if os.environ.get("BENCH_SKIP_TTE", "") != "1":
+        try:
+            import bench_tte
+
+            tte_result = bench_tte.run()
+            print(json.dumps(tte_result))
+        except Exception as e:
+            print(json.dumps({
+                "metric": "tte_train_micro_steps_per_second_per_chip",
+                "value": 0.0, "unit": "steps/s/chip", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }))
+
+    # headline LAST: vocoder synthesis
+    print(json.dumps(run_vocoder(quant, tte_result)))
 
 
 if __name__ == "__main__":
-    # keep stdout clean for the one JSON line
+    # keep stdout clean for the JSON lines
     import warnings
 
     warnings.filterwarnings("ignore")

@@ -9,6 +9,8 @@ frames/token).
 
 Reports MICRO-steps/s (one fwd+bwd on a batch-6 micro-batch, the unit
 Lightning iterates); optimizer steps/s = value / 4. Prints ONE JSON line.
+`run()` is importable — bench.py calls it so the driver-recorded BENCH
+captures training perf too, not just synthesis.
 """
 
 import argparse
@@ -16,29 +18,18 @@ import json
 import sys
 import time
 
-import numpy as np
-
 SRC_LEN = 128
 TGT_LEN = 512
 BATCH = 6          # reference TTE_config.yaml train.batch_size
 GRAD_ACC = 4       # reference TTE_config.yaml train.grad_acc_steps
 
 
-def main():
-    global SRC_LEN, TGT_LEN, BATCH
+def run(src_len: int = SRC_LEN, tgt_len: int = TGT_LEN, batch: int = BATCH,
+        no_remat: bool = False, force_xla_attn: bool = False,
+        iters: int = 40) -> dict:
+    import numpy as np
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--src", type=int, default=SRC_LEN)
-    ap.add_argument("--tgt", type=int, default=TGT_LEN)
-    ap.add_argument("--batch", type=int, default=BATCH)
-    ap.add_argument("--no-remat", action="store_true",
-                    help="A/B: disable FFT-block rematerialization")
-    ap.add_argument("--force-xla-attn", action="store_true",
-                    help="A/B: force the XLA attention path (no Pallas)")
-    args = ap.parse_args()
-    SRC_LEN, TGT_LEN, BATCH = args.src, args.tgt, args.batch
     import jax
-    import jax.numpy as jnp
 
     from parrot_tts_tpu.core.config import (TTEModelConfig, TTETrainConfig,
                                             TransformerStackConfig)
@@ -51,33 +42,40 @@ def main():
         decoder=TransformerStackConfig(n_layer=4, n_head=2, dropout_p=0.1),
         dur_n_filter=256, dur_kernel_size=3, dur_dropout_p=0.5,
         hubert_codes=1000, n_speaker=10, vocab_size=100, pad_idx=0,
-        remat=not args.no_remat)
-    if args.force_xla_attn:
+        remat=not no_remat)
+    if force_xla_attn:
         from parrot_tts_tpu.ops import attention as attn_ops
+        # patch BOTH gates: _use_flash picks the attention path, and
+        # flash_available gates FFT-block remat in parrot._run_stack —
+        # forcing only the former would measure a no-remat XLA config that
+        # is not any production path (and can OOM at the 3584 bucket)
         attn_ops._use_flash = lambda *a, **k: False
-    tcfg = TTETrainConfig(batch_size=BATCH, grad_acc_steps=GRAD_ACC,
+        attn_ops.flash_available = lambda *a, **k: False
+    tcfg = TTETrainConfig(batch_size=batch, grad_acc_steps=GRAD_ACC,
                           warmup_steps=2000, total_steps=50_000)
 
     rng = np.random.default_rng(0)
-    src_lens = rng.integers(SRC_LEN - 16, SRC_LEN + 1, size=BATCH)
-    durs = np.zeros((BATCH, SRC_LEN), np.int32)
+    src_lens = rng.integers(src_len - 16, src_len + 1, size=batch)
+    durs = np.zeros((batch, src_len), np.int32)
     for i, n in enumerate(src_lens):
         d = rng.integers(2, 7, size=n)
-        scale = min(1.0, TGT_LEN / max(1, d.sum()))
+        scale = min(1.0, tgt_len / max(1, d.sum()))
         durs[i, :n] = np.maximum(1, (d * scale).astype(np.int32))
     tgt_lens = durs.sum(axis=1)
-    batch = {
+    import jax.numpy as jnp
+
+    batch_d = {
         "phones": jnp.asarray(rng.integers(
-            2, cfg.vocab_size, size=(BATCH, SRC_LEN)).astype(np.int32)),
+            2, cfg.vocab_size, size=(batch, src_len)).astype(np.int32)),
         "duration": jnp.asarray(durs),
         "codes": jnp.asarray(rng.integers(
-            0, cfg.hubert_codes, size=(BATCH, TGT_LEN)).astype(np.int32)),
+            0, cfg.hubert_codes, size=(batch, tgt_len)).astype(np.int32)),
         "src_mask": jnp.asarray(
-            np.arange(SRC_LEN)[None, :] < src_lens[:, None]),
+            np.arange(src_len)[None, :] < src_lens[:, None]),
         "tgt_mask": jnp.asarray(
-            np.arange(TGT_LEN)[None, :] < tgt_lens[:, None]),
+            np.arange(tgt_len)[None, :] < tgt_lens[:, None]),
         "speaker": jnp.asarray(rng.integers(
-            0, cfg.n_speaker, size=(BATCH,)).astype(np.int32)),
+            0, cfg.n_speaker, size=(batch,)).astype(np.int32)),
     }
 
     state = tte_train.init_state(jax.random.key(0), cfg, tcfg)
@@ -86,8 +84,8 @@ def main():
     # compile + warmup; the float() readback is the completion barrier
     # (block_until_ready returns early through the axon relay)
     for _ in range(3):
-        state, metrics = tte_train.train_step(state, batch, key, cfg, tcfg,
-                                              TGT_LEN)
+        state, metrics = tte_train.train_step(state, batch_d, key, cfg, tcfg,
+                                              tgt_len)
         _ = float(metrics["total_loss"])
 
     # steady-state: steps chain on-device through the donated state; the
@@ -95,12 +93,11 @@ def main():
     # log_every cadence, so only the final readback syncs the host. A
     # per-step float() would bill one ~26 ms relay round trip per step
     # (PERF.md methodology).
-    iters = 40
     t0 = time.perf_counter()
     last = None
     for _ in range(iters):
-        state, metrics = tte_train.train_step(state, batch, key, cfg, tcfg,
-                                              TGT_LEN)
+        state, metrics = tte_train.train_step(state, batch_d, key, cfg, tcfg,
+                                              tgt_len)
         last = metrics["total_loss"]
     _ = float(last)
     dt = time.perf_counter() - t0
@@ -116,22 +113,37 @@ def main():
         return attn + conv
 
     fwd = (cfg.encoder.n_layer * fft_block_flops(
-               BATCH, SRC_LEN, cfg.d_model, cfg.conv_n_filter, 9)
+               batch, src_len, cfg.d_model, cfg.conv_n_filter, 9)
            + cfg.decoder.n_layer * fft_block_flops(
-               BATCH, TGT_LEN, cfg.d_model, cfg.conv_n_filter, 9)
-           + 2 * BATCH * TGT_LEN * cfg.d_model * cfg.hubert_codes)
+               batch, tgt_len, cfg.d_model, cfg.conv_n_filter, 9)
+           + 2 * batch * tgt_len * cfg.d_model * cfg.hubert_codes)
     train_flops = 3 * fwd  # fwd + ~2x bwd
-    print(json.dumps({
+    return {
         "metric": "tte_train_micro_steps_per_second_per_chip",
         "value": round(steps_per_s, 3),
         "unit": "steps/s/chip",
         "vs_baseline": round(steps_per_s, 3),
-        "detail": {"batch": BATCH, "grad_acc": GRAD_ACC,
-                   "src_len": SRC_LEN, "tgt_len": TGT_LEN,
+        "detail": {"batch": batch, "grad_acc": GRAD_ACC,
+                   "src_len": src_len, "tgt_len": tgt_len,
                    "optimizer_steps_per_s": round(steps_per_s / GRAD_ACC, 3),
                    "achieved_tflops": round(
                        train_flops * steps_per_s / 1e12, 2)},
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", type=int, default=SRC_LEN)
+    ap.add_argument("--tgt", type=int, default=TGT_LEN)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="A/B: disable FFT-block rematerialization")
+    ap.add_argument("--force-xla-attn", action="store_true",
+                    help="A/B: force the XLA attention path (no Pallas)")
+    args = ap.parse_args()
+    print(json.dumps(run(args.src, args.tgt, args.batch,
+                         no_remat=args.no_remat,
+                         force_xla_attn=args.force_xla_attn)))
 
 
 if __name__ == "__main__":

@@ -79,9 +79,11 @@ def init_discriminator_p(key, kernel_size: int = 5) -> dict:
 
 
 def apply_discriminator_p(p: dict, x: jnp.ndarray, period: int,
-                          precision=None):
+                          precision=None, dtype=None):
     """x: (B, T, 1). Returns (score (B, n), fmaps list)."""
     b, t, c = x.shape
+    if dtype is not None:
+        x = x.astype(dtype)
     if t % period:
         n_pad = period - (t % period)
         x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
@@ -92,14 +94,18 @@ def apply_discriminator_p(p: dict, x: jnp.ndarray, period: int,
     strides = [(3, 1)] * 4 + [(1, 1)]
     for conv, stride in zip(p["convs"], strides):
         w = wn_resolve(conv, WN_AXES_CONV2D) if "v" in conv else conv["w"]
-        x = conv_ops.conv2d(x, w, conv["b"], stride=stride,
+        if dtype is not None:
+            w = w.astype(dtype)
+        x = conv_ops.conv2d(x, w, conv["b"].astype(x.dtype), stride=stride,
                             padding=(2, 0), precision=precision)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
     cp = p["conv_post"]
     w = wn_resolve(cp, WN_AXES_CONV2D) if "v" in cp else cp["w"]
-    x = conv_ops.conv2d(x, w, cp["b"], stride=(1, 1), padding=(1, 0),
-                        precision=precision)
+    if dtype is not None:
+        w = w.astype(dtype)
+    x = conv_ops.conv2d(x, w, cp["b"].astype(x.dtype), stride=(1, 1),
+                        padding=(1, 0), precision=precision)
     fmap.append(x)
     return x.reshape(b, -1), fmap
 
@@ -110,13 +116,14 @@ def init_mpd(key) -> dict:
 
 
 def apply_mpd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray,
-              precision=None):
+              precision=None, dtype=None):
     """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs) like the reference
-    MultiPeriodDiscriminator (models.py:206-225)."""
+    MultiPeriodDiscriminator (models.py:206-225). dtype=bfloat16 runs the
+    disc stack in bf16 compute (params stay f32) — a TPU training lever."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     for p, period in zip(params["discriminators"], MPD_PERIODS):
-        s_r, f_r = apply_discriminator_p(p, y, period, precision)
-        s_g, f_g = apply_discriminator_p(p, y_hat, period, precision)
+        s_r, f_r = apply_discriminator_p(p, y, period, precision, dtype)
+        s_g, f_g = apply_discriminator_p(p, y_hat, period, precision, dtype)
         y_d_rs.append(s_r)
         y_d_gs.append(s_g)
         fmap_rs.append(f_r)
@@ -142,19 +149,26 @@ def init_discriminator_s(key, use_spectral_norm: bool = False) -> dict:
 
 
 def apply_discriminator_s(p: dict, x: jnp.ndarray, *, update_sn: bool,
-                          precision=None):
-    """x: (B, T, 1). Returns (score, fmaps, new_params)."""
+                          precision=None, dtype=None):
+    """x: (B, T, 1). Returns (score, fmaps, new_params). Spectral-norm power
+    iteration always runs in f32 (the kernel is cast after _resolve)."""
     fmap = []
     new_convs = []
+    if dtype is not None:
+        x = x.astype(dtype)
     for conv, (ci, co, k, s, g, pad) in zip(p["convs"], _MSD_LAYERS):
         w, new_conv = _resolve(conv, WN_AXES_CONV1D, update_sn)
         new_convs.append(new_conv)
-        x = conv_ops.conv1d(x, w, conv["b"], stride=s, padding=pad, groups=g,
-                            precision=precision)
+        if dtype is not None:
+            w = w.astype(dtype)
+        x = conv_ops.conv1d(x, w, conv["b"].astype(x.dtype), stride=s,
+                            padding=pad, groups=g, precision=precision)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
     w, new_post = _resolve(p["conv_post"], WN_AXES_CONV1D, update_sn)
-    x = conv_ops.conv1d(x, w, p["conv_post"]["b"], padding=1,
+    if dtype is not None:
+        w = w.astype(dtype)
+    x = conv_ops.conv1d(x, w, p["conv_post"]["b"].astype(x.dtype), padding=1,
                         precision=precision)
     fmap.append(x)
     new_p = {"convs": new_convs, "conv_post": new_post}
@@ -171,7 +185,7 @@ def init_msd(key) -> dict:
 
 
 def apply_msd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray, *,
-              update_sn: bool = False, precision=None):
+              update_sn: bool = False, precision=None, dtype=None):
     """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs, new_params). The x2/x4
     scales see AvgPool1d(4, 2, padding=2) pyramids (reference models.py:258).
 
@@ -186,9 +200,10 @@ def apply_msd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray, *,
             y = conv_ops.avg_pool1d(y, 4, 2, 2)
             y_hat = conv_ops.avg_pool1d(y_hat, 4, 2, 2)
         s_r, f_r, new_p = apply_discriminator_s(
-            p, y, update_sn=update_sn, precision=precision)
+            p, y, update_sn=update_sn, precision=precision, dtype=dtype)
         s_g, f_g, new_p = apply_discriminator_s(
-            new_p, y_hat, update_sn=update_sn, precision=precision)
+            new_p, y_hat, update_sn=update_sn, precision=precision,
+            dtype=dtype)
         new_discs.append(new_p)
         y_d_rs.append(s_r)
         y_d_gs.append(s_g)

@@ -14,7 +14,9 @@ def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss = loss + jnp.mean(jnp.abs(rl - gl))
+            # f32 reduction: stable regardless of disc compute dtype
+            loss = loss + jnp.mean(jnp.abs(rl.astype(jnp.float32)
+                                           - gl.astype(jnp.float32)))
     return loss * 2
 
 
@@ -24,8 +26,8 @@ def discriminator_loss(disc_real, disc_gen):
     loss = 0.0
     r_losses, g_losses = [], []
     for dr, dg in zip(disc_real, disc_gen):
-        r = jnp.mean(jnp.square(1.0 - dr))
-        g = jnp.mean(jnp.square(dg))
+        r = jnp.mean(jnp.square(1.0 - dr.astype(jnp.float32)))
+        g = jnp.mean(jnp.square(dg.astype(jnp.float32)))
         loss = loss + r + g
         r_losses.append(r)
         g_losses.append(g)
@@ -38,7 +40,7 @@ def generator_loss(disc_gen):
     loss = 0.0
     gen_losses = []
     for dg in disc_gen:
-        l = jnp.mean(jnp.square(1.0 - dg))
+        l = jnp.mean(jnp.square(1.0 - dg.astype(jnp.float32)))
         gen_losses.append(l)
         loss = loss + l
     return loss, gen_losses

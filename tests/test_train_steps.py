@@ -131,6 +131,30 @@ def test_vocoder_gan_train_step(rng):
         state.msd_params["discriminators"][0]["convs"][0]["u"]), u0)
 
 
+def test_vocoder_gan_train_step_bf16_disc(rng):
+    """disc_dtype=bfloat16 (the GAN-throughput lever): the step must run,
+    stay finite, and update all three networks; loss reductions stay f32."""
+    mcfg = tiny_voc_cfg()
+    tcfg = VocoderTrainConfig(learning_rate=1e-3, disc_dtype="bfloat16")
+    mel_cfg = MelConfig(n_fft=64, num_mels=8, hop_size=16, win_size=64,
+                        sampling_rate=16000, fmax=None)
+    state = voc_train.init_state(jax.random.key(0), mcfg, tcfg,
+                                 steps_per_epoch=10)
+    batch = {k: jnp.asarray(v) for k, v in tiny_voc_batch(rng).items()}
+    g0 = np.asarray(state.gen_params["conv_pre"]["v"])
+    d0 = np.asarray(state.mpd_params["discriminators"][0]["convs"][0]["v"])
+    state, metrics = voc_train.train_step(state, batch, mcfg, tcfg,
+                                          mel_cfg, 10)
+    for v in metrics.values():
+        assert np.isfinite(float(v)), metrics
+    assert not np.allclose(np.asarray(state.gen_params["conv_pre"]["v"]), g0)
+    assert not np.allclose(np.asarray(
+        state.mpd_params["discriminators"][0]["convs"][0]["v"]), d0)
+    # grads/params stayed f32 pytree-wide
+    for leaf in jax.tree_util.tree_leaves(state.gen_params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_tte_train_step_on_mesh(rng):
     """DP over the 8-device CPU mesh: replicated params, sharded batch."""
     assert jax.device_count() == 8
