@@ -117,6 +117,12 @@ def main(argv=None):
                         "(reference inference.py:237-251)")
     s.add_argument("-n", "--limit", type=int, default=None,
                    help="stop after N utterances (reference -n)")
+    s.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                   help="serving compute dtype (default: checkpoint config)")
+    s.add_argument("--quant", default=None,
+                   choices=["none", "int8-tail", "int8"],
+                   help="int8 MXU serving path (ops/quant.py; fidelity "
+                        "bounds in VALIDATION.md)")
 
     args = p.parse_args(argv)
     return DISPATCH[args.cmd](args)
@@ -285,6 +291,15 @@ def _synthesize(args):
     saved_cfg = Path(args.ckpt_dir) / "config.json"
     vcfg = (vocoder_config_from_json(saved_cfg.read_text())
             if saved_cfg.exists() else cfg.vocoder_model)
+    import dataclasses
+
+    over = {}
+    if getattr(args, "dtype", None):
+        over["dtype"] = args.dtype
+    if getattr(args, "quant", None):
+        over["quant"] = args.quant
+    if over:
+        vcfg = dataclasses.replace(vcfg, **over)
     mgr = CheckpointManager(args.ckpt_dir)
     state = mgr.restore()
     gen_params = state["gen_params"] if "gen_params" in state else state

@@ -12,6 +12,7 @@ inverted into torch-style True=IGNORE key-padding masks internally.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any
 
 import jax
@@ -255,6 +256,7 @@ def infer_codes(
     *,
     out_len: int,
     precision=None,
+    exact: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy decode (reference parrot.py:112-120): argmax over codes,
     validity mask for host-side unpadding. Returns (codes (B,out_len),
@@ -263,10 +265,20 @@ def infer_codes(
     `total` lets callers detect bucket overflow: the reference's dynamic
     shapes never truncate (modules/duration.py:6-24), so when
     total > out_len the caller must re-decode that sample in a larger
-    bucket (infer/tte_infer.py, infer/serving.py do)."""
-    logits, tgt_mask, log_dur = apply_parrot(
-        params, batch, cfg, out_len=out_len, inference=True,
-        deterministic=True, precision=precision)
-    durations = jnp.where(batch["src_mask"],
-                          lr_ops.durations_from_log_pred(log_dur), 0)
+    bucket (infer/tte_infer.py, infer/serving.py do).
+
+    exact=True (default, the serving mode) runs the forward with full-f32
+    matmuls: the TPU's default bf16-pass matmuls perturb logits enough to
+    flip argmax on near-ties, breaking unit-exact decode vs the reference —
+    measured on hardware by scripts/tpu_parity_check.py round 3 (the same
+    effect round 2 found for HuBERT k-means argmin). exact=False keeps the
+    default-precision fast path for throughput-only use."""
+    ctx = (jax.default_matmul_precision("highest") if exact
+           else contextlib.nullcontext())
+    with ctx:
+        logits, tgt_mask, log_dur = apply_parrot(
+            params, batch, cfg, out_len=out_len, inference=True,
+            deterministic=True, precision=precision)
+        durations = jnp.where(batch["src_mask"],
+                              lr_ops.durations_from_log_pred(log_dur), 0)
     return jnp.argmax(logits, axis=-1), tgt_mask, jnp.sum(durations, axis=1)

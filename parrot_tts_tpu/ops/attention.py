@@ -141,7 +141,11 @@ def _flash_attention(qp, kp, vp, key_padding_mask, scale):
     if key_padding_mask is not None:
         ids = (~key_padding_mask).astype(jnp.int32)
         seg = SegmentIds(q=ids, kv=ids)
-    blk = min(512, t)
+    # the block must DIVIDE t (kernel grid constraint) — min(512, t) crashed
+    # at t=768 on hardware; caught by scripts/tpu_parity_check.py round 3
+    from parrot_tts_tpu.ops.flash_dropout import pick_block
+
+    blk = pick_block(t)
     sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
