@@ -78,12 +78,12 @@ def main():
     for (si, c, g, tpf) in stages:
         t = tpf * codes
         xf = jnp.asarray(rng.standard_normal(
-            (batch, t // g, g * c)).astype(np.bfloat16))
+            (batch, t // g, g * c)).astype(np.float32), jnp.bfloat16)
         for k, d in ((11, 5), (7, 5), (11, 3), (3, 5)):
             if (t // d) % g or t % d:
                 continue
             w = jnp.asarray(rng.standard_normal(
-                (k, c, c)).astype(np.bfloat16) * 0.1)
+                (k, c, c)).astype(np.float32) * 0.1, jnp.bfloat16)
             pad = conv_ops.get_padding(k, d)
 
             ms_folded = timeit(
