@@ -89,8 +89,16 @@ def train_step(state: VocoderTrainState, batch: dict,
     ddt = jnp.dtype(train_cfg.disc_dtype)
     ddt = None if ddt == jnp.float32 else ddt
     y = batch["audio"][:, :, None]                          # (B, T, 1)
-    y_g_hat = gen.apply_code_generator(
-        state.gen_params, batch["code"], batch.get("spkr"), model_cfg)
+    # ONE generator forward for the whole step (the reference reuses its
+    # single forward for both D and G losses via retain_graph,
+    # train.py:131-168). jax.vjp gives us the same structure: the D step
+    # consumes y_g_hat as a constant, the G step backprops the loss-side
+    # cotangent through the saved generator linearization — no second
+    # generator forward (measured ~19% of the step, PERF.md 3d).
+    y_g_hat, gen_vjp = jax.vjp(
+        lambda p: gen.apply_code_generator(
+            p, batch["code"], batch.get("spkr"), model_cfg),
+        state.gen_params)
     y_hat_sg = jax.lax.stop_gradient(y_g_hat)
 
     # ---------------- discriminator step (reference train.py:138-151)
@@ -115,9 +123,7 @@ def train_step(state: VocoderTrainState, batch: dict,
     # CPU dataloader with num_workers=0 — a known bottleneck, SURVEY.md §3.3)
     mel_real = batch["mel"] if "mel" in batch else _mel(batch["audio"], mel_cfg)
 
-    def g_loss_fn(g_params):
-        y_hat = gen.apply_code_generator(
-            g_params, batch["code"], batch.get("spkr"), model_cfg)
+    def g_loss_fn(y_hat):
         mel_hat = _mel(y_hat[:, :, 0], mel_cfg)
         loss_mel = losses.mel_l1_loss(mel_real, mel_hat)
 
@@ -134,8 +140,12 @@ def train_step(state: VocoderTrainState, batch: dict,
         total = loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f + loss_mel
         return total, (loss_mel, msd_after_g)
 
-    (loss_gen_all, (loss_mel, msd_final)), g_grads = jax.value_and_grad(
-        g_loss_fn, has_aux=True)(state.gen_params)
+    # loss-side cotangent wrt y_hat, then through the generator via the
+    # saved vjp — chain-rule-identical to grad of the composition
+    # (equality test: tests/test_train_steps.py::test_gan_single_forward)
+    (loss_gen_all, (loss_mel, msd_final)), dy = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(y_g_hat)
+    (g_grads,) = gen_vjp(dy)
     g_updates, new_opt_g = opt_g.update(
         g_grads, state.opt_g_state, state.gen_params)
     new_gen = optax.apply_updates(state.gen_params, g_updates)

@@ -131,6 +131,55 @@ def test_vocoder_gan_train_step(rng):
         state.msd_params["discriminators"][0]["convs"][0]["u"]), u0)
 
 
+def test_gan_single_forward_vjp_identity(rng):
+    """The round-3 GAN step restructure (one generator forward shared by
+    the D and G losses via jax.vjp) must produce EXACTLY the gradients of
+    the direct composition grad(p -> L(G(p))) — chain-rule identity on the
+    real tiny models, including SN state threading."""
+    from parrot_tts_tpu.models.vocoder import discriminator as disc
+    from parrot_tts_tpu.models.vocoder import generator as gen
+    from parrot_tts_tpu.models.vocoder import losses
+
+    mcfg = tiny_voc_cfg()
+    mel_cfg = MelConfig(n_fft=64, num_mels=8, hop_size=16, win_size=64,
+                        sampling_rate=16000, fmax=None)
+    kg, kp, ks = jax.random.split(jax.random.key(0), 3)
+    g_params = gen.init_code_generator(kg, mcfg)
+    mpd_p = disc.init_mpd(kp)
+    msd_p = disc.init_msd(ks)
+    b = tiny_voc_batch(rng)
+    code, spkr = jnp.asarray(b["code"]), jnp.asarray(b["spkr"])
+    y = jnp.asarray(b["audio"])[:, :, None]
+    mel_real = voc_train._mel(jnp.asarray(b["audio"]), mel_cfg)
+
+    def g_loss(y_hat):
+        mel_hat = voc_train._mel(y_hat[:, :, 0], mel_cfg)
+        loss_mel = losses.mel_l1_loss(mel_real, mel_hat)
+        f_rs, f_gs, fmap_f_r, fmap_f_g = disc.apply_mpd(mpd_p, y, y_hat)
+        s_rs, s_gs, fmap_s_r, fmap_s_g, _ = disc.apply_msd(
+            msd_p, y, y_hat, update_sn=True)
+        loss_fm_f = losses.feature_loss(
+            [list(map(jax.lax.stop_gradient, f)) for f in fmap_f_r], fmap_f_g)
+        loss_fm_s = losses.feature_loss(
+            [list(map(jax.lax.stop_gradient, f)) for f in fmap_s_r], fmap_s_g)
+        lf, _ = losses.generator_loss(f_gs)
+        ls, _ = losses.generator_loss(s_gs)
+        return lf + ls + loss_fm_f + loss_fm_s + loss_mel
+
+    direct = jax.grad(
+        lambda p: g_loss(gen.apply_code_generator(p, code, spkr, mcfg)))(
+            g_params)
+    y_hat, gen_vjp = jax.vjp(
+        lambda p: gen.apply_code_generator(p, code, spkr, mcfg), g_params)
+    dy = jax.grad(g_loss)(y_hat)
+    (via_vjp,) = gen_vjp(dy)
+
+    for a, c in zip(jax.tree_util.tree_leaves(direct),
+                    jax.tree_util.tree_leaves(via_vjp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_vocoder_gan_train_step_bf16_disc(rng):
     """disc_dtype=bfloat16 (the GAN-throughput lever): the step must run,
     stay finite, and update all three networks; loss reductions stay f32."""
