@@ -53,7 +53,7 @@ class ParrotTTS:
         self.vocoder = VocoderSynthesizer(vocoder_params, vocoder_cfg,
                                           fold=fold)
         self._infer = jax.jit(parrot.infer_codes,
-                              static_argnames=("cfg", "out_len"))
+                              static_argnames=("cfg", "out_len", "exact"))
         self.last_stats: dict = {}
 
     def tokenize(self, text: str) -> np.ndarray:

@@ -103,7 +103,7 @@ def predict_units(
         by_bucket.setdefault(pick_bucket(src_buckets, len(s.phones)), []).append(i)
 
     infer = jax.jit(parrot.infer_codes,
-                    static_argnames=("cfg", "out_len"))
+                    static_argnames=("cfg", "out_len", "exact"))
 
     cap = max_decode_len(model_cfg)
     plan = [(s_len, min(s_len * out_len_per_token, cap), idxs)

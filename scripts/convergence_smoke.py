@@ -198,10 +198,82 @@ def gan_smoke(n_steps: int) -> dict:
             "curve": [[s, round(m, 4), round(d, 4)] for s, m, d in curve]}
 
 
+def aligner_smoke(n_steps: int) -> dict:
+    """CTC aligner (the third trainable): mels whose frames carry a
+    per-token signature pattern — CTC must learn to transcribe it.
+    Reference loop: /root/reference/utils/aligner/trainer.py:56-71."""
+    import pickle
+
+    from parrot_tts_tpu.core.config import (AlignerModelConfig,
+                                            AlignerTrainConfig)
+    from parrot_tts_tpu.data.aligner_data import AlignerDataset, AlignerLoader
+    from parrot_tts_tpu.train import aligner as atrain
+
+    rng = np.random.default_rng(0)
+    n_mels, n_sym = 20, 6          # symbols 1..5 (0 = CTC blank)
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        (root / "mels").mkdir()
+        (root / "tokens").mkdir()
+        index = []
+        for i in range(48):
+            n_tok = int(rng.integers(4, 9))
+            toks = rng.integers(1, n_sym, size=n_tok).astype(np.int32)
+            frames = []
+            for tk in toks:
+                rep = int(rng.integers(3, 6))
+                sig = np.zeros(n_mels, np.float32)
+                sig[tk * 3:(tk + 1) * 3] = 1.0
+                frames.append(np.tile(sig, (rep, 1)))
+            mel = (np.concatenate(frames)
+                   + 0.1 * rng.standard_normal(
+                       (sum(f.shape[0] for f in frames), n_mels)))
+            np.save(root / "mels" / f"u{i}.npy", mel.astype(np.float32))
+            np.save(root / "tokens" / f"u{i}.npy", toks)
+            index.append((f"u{i}", mel.shape[0], n_tok))
+        with open(root / "dataset.pkl", "wb") as f:
+            pickle.dump(index, f)
+
+        ds = AlignerDataset(root)
+        mcfg = AlignerModelConfig(n_mels=n_mels, conv_dim=32, lstm_dim=32,
+                                  num_symbols=n_sym)
+        tcfg = AlignerTrainConfig(batch_size=8, learning_rate=3e-4,
+                                  mel_bucket_sizes=(48,),
+                                  token_bucket_sizes=(8,))
+        loader = AlignerLoader(ds, tcfg.batch_size, tcfg.mel_bucket_sizes,
+                               tcfg.token_bucket_sizes)
+        state = atrain.init_state(jax.random.key(0), mcfg, tcfg)
+
+        curve = []
+        step = 0
+        t0 = time.perf_counter()
+        while step < n_steps:
+            for batch in loader.batches(epoch=step):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, metrics = atrain.train_step(state, jb, tcfg)
+                step += 1
+                if step % 25 == 0 or step == 1:
+                    curve.append((step, float(metrics["ctc_loss"])))
+                    log(f"  aligner step {step}: ctc {curve[-1][1]:.4f}")
+                if step >= n_steps:
+                    break
+        dt = time.perf_counter() - t0
+
+    first, last = curve[0], curve[-1]
+    assert np.isfinite(last[1])
+    assert last[1] < 0.5 * first[1], \
+        f"aligner CTC loss did not converge: {first[1]} -> {last[1]}"
+    return {"steps": n_steps, "seconds": round(dt, 1),
+            "ctc_loss_first": round(first[1], 4),
+            "ctc_loss_last": round(last[1], 4),
+            "curve": [[s, round(c, 4)] for s, c in curve]}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tte-steps", type=int, default=300)
     ap.add_argument("--gan-steps", type=int, default=200)
+    ap.add_argument("--aligner-steps", type=int, default=200)
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}")
@@ -210,6 +282,8 @@ def main():
     results["tte"] = tte_smoke(args.tte_steps)
     log(f"[GAN] {args.gan_steps} steps on the sine corpus")
     results["gan"] = gan_smoke(args.gan_steps)
+    log(f"[ALIGNER] {args.aligner_steps} CTC steps on the signature corpus")
+    results["aligner"] = aligner_smoke(args.aligner_steps)
 
     (REPO / "convergence_results.json").write_text(json.dumps(results,
                                                               indent=2))
@@ -223,7 +297,11 @@ def main():
              f"- GAN: mel error {results['gan']['mel_error_first']} -> "
              f"{results['gan']['mel_error_last']} over "
              f"{results['gan']['steps']} steps "
-             f"({results['gan']['seconds']} s)\n")
+             f"({results['gan']['seconds']} s)\n"
+             f"- Aligner: CTC loss {results['aligner']['ctc_loss_first']} "
+             f"-> {results['aligner']['ctc_loss_last']} over "
+             f"{results['aligner']['steps']} steps "
+             f"({results['aligner']['seconds']} s)\n")
     if md.exists():
         md.write_text(md.read_text() + block)
     else:

@@ -83,6 +83,34 @@ def test_synthesize_cli_gt_copy_and_limit(vocoder_run, tmp_path, capsys):
     assert 0.95 <= peak <= 1.0
 
 
+def test_synthesize_cli_quant_int8(vocoder_run, tmp_path, capsys):
+    """--quant int8 serving path end-to-end through the CLI: produces wavs
+    close to the float path (int8 error bounded by the dynamic scales)."""
+    from parrot_tts_tpu.cli import main
+    from parrot_tts_tpu.data.audio_io import read_wav
+
+    ckpt_dir, manifest, entries = vocoder_run
+    out_f = tmp_path / "gen_f32"
+    out_q = tmp_path / "gen_int8"
+    main(["synthesize", "--manifest", str(manifest),
+          "--ckpt-dir", str(ckpt_dir), "--out-dir", str(out_f)])
+    main(["synthesize", "--manifest", str(manifest),
+          "--ckpt-dir", str(ckpt_dir), "--out-dir", str(out_q),
+          "--quant", "int8"])
+    capsys.readouterr()
+    f_files = sorted(p.name for p in out_f.glob("*_gen.wav"))
+    q_files = sorted(p.name for p in out_q.glob("*_gen.wav"))
+    assert f_files == q_files and len(f_files) == len(entries)
+    for name in f_files:
+        wf, _ = read_wav(out_f / name)
+        wq, _ = read_wav(out_q / name)
+        wf = wf.astype(np.float32) / 32768.0
+        wq = wq.astype(np.float32) / 32768.0
+        snr = 10 * np.log10(float((wf ** 2).mean())
+                            / max(float(((wf - wq) ** 2).mean()), 1e-12))
+        assert snr > 15.0, f"{name}: int8 CLI SNR {snr:.1f} dB"
+
+
 def test_synthesize_cli_debug_serial_matches_batched(vocoder_run, tmp_path,
                                                      capsys):
     from parrot_tts_tpu.cli import main
