@@ -303,7 +303,11 @@ def main():
              f"{results['aligner']['steps']} steps "
              f"({results['aligner']['seconds']} s)\n")
     if md.exists():
-        md.write_text(md.read_text() + block)
+        text = md.read_text()
+        marker = "\n## Convergence smoke"
+        if marker in text:                 # replace the previous block
+            text = text[: text.index(marker)]
+        md.write_text(text + block)
     else:
         md.write_text("# VALIDATION\n" + block)
     log("convergence smoke: OK")
