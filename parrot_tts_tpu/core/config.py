@@ -178,8 +178,9 @@ class VocoderModelConfig:
     # executed FLOPs (PERF.md round 2c), so the remaining lever is rate:
     # v5e int8 runs 2x bf16. "int8-tail" quantizes only the folded
     # (lane-packed) stages; "int8" also quantizes the unfolded MRF stages
-    # and upsamples. conv_pre and conv_post always stay in `dtype`
-    # (embedding head / waveform tail are fidelity-critical). Serving-only:
+    # and upsamples (per-batch-row dynamic activation scales). conv_pre
+    # and conv_post always stay in `dtype` (embedding head / waveform
+    # tail are fidelity-critical). Serving-only:
     # the quantized path defines no custom VJP. Fidelity bounds are
     # measured on hardware like the bf16 path's (scripts/tpu_parity_check).
     quant: str = "none"

@@ -55,11 +55,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch pytree with the batch dim sharded over `data`."""
+    """Device-put a host batch pytree with the batch dim sharded over `data`.
+
+    Single-process: `batch` is the GLOBAL batch and is split across the
+    mesh's devices. Multi-process (jax.distributed): `batch` is this
+    host's LOCAL slice of the global batch (what the loaders yield with
+    process_index/process_count set) and is assembled into the global
+    sharded array via make_array_from_process_local_data — device_put
+    alone would treat each host's slice as the whole global batch and
+    silently drop every other host's samples."""
 
     def _put(x):
         arr = np.asarray(x)
-        return jax.device_put(arr, data_sharding(mesh, arr.ndim))
+        sharding = data_sharding(mesh, arr.ndim)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 

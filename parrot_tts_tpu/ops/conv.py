@@ -85,7 +85,8 @@ def conv_transpose1d(
     if polyphase and stride > 1 and k - 2 * padding == stride:
         return _conv_transpose1d_polyphase(x, w, b, stride, padding,
                                            precision, quant=quant)
-    assert not quant, "int8 path requires the polyphase configuration"
+    # quant needs the polyphase packing (stride-1 NWC form); topologies
+    # outside K - 2*padding == stride fall back to the float lowering
     w_flip = jnp.flip(w, axis=0)
     out = jax.lax.conv_general_dilated(
         x,

@@ -13,8 +13,9 @@ Scheme (standard symmetric dynamic PTQ):
   * weights: per-output-channel symmetric scales over the PACKED kernel
     (block-Toeplitz / polyphase packing happens first, quantization last,
     so every out lane of the actual matmul gets its own scale);
-  * activations: per-tensor dynamic absmax scale computed on device per
-    call — no calibration corpus, robust to any checkpoint;
+  * activations: per-BATCH-ROW dynamic absmax scales computed on device
+    per call — no calibration corpus, robust to any checkpoint, and no
+    cross-utterance coupling in batched serving;
   * accumulation in int32 on the MXU, dequantize fused into the epilogue:
     y = acc * (s_x * s_w[co]) + bias, then the usual leaky-relu / residual
     algebra continues in the compute dtype.
@@ -52,6 +53,19 @@ def quantize_per_tensor(x: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
+def quantize_per_row(x: jnp.ndarray):
+    """x (B, T, C) -> (int8 values, (B, 1, 1) f32 scales).
+
+    Per-BATCH-ROW scales: a conv mixes values only within one batch
+    element, so each utterance gets its own scale — batched synthesis of
+    a quiet utterance is not degraded by a loud batchmate, and batched vs
+    serial synthesis of the same codes produce identical waveforms (the
+    batch-invariance the float path is tested for)."""
+    scale = (_absmax(x, (1, 2)) / QMAX)[:, None, None]
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
+    return q.astype(jnp.int8), scale
+
+
 def quantize_per_out_channel(w: jnp.ndarray):
     """w (K, Ci, Co) -> (int8 values, (Co,) f32 scales)."""
     scale = _absmax(w, (0, 1)) / QMAX
@@ -74,10 +88,10 @@ def int8_conv_nwc(
     x: (B, T, Ci) float; w: (K, Ci, Co) float (already packed by the
     caller's lowering). Returns (B, T', Co) in out_dtype (default x.dtype).
     Matches the float conv up to the quantization error bounded by the
-    per-tensor/per-channel scales.
+    per-row/per-channel scales.
     """
     out_dtype = out_dtype or x.dtype
-    xq, sx = quantize_per_tensor(x)
+    xq, sx = quantize_per_row(x)                    # (B,1,1) scales
     wq, sw = quantize_per_out_channel(w)
     acc = jax.lax.conv_general_dilated(
         xq, wq,
@@ -87,7 +101,7 @@ def int8_conv_nwc(
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (sx * sw)[None, None, :]
+    y = acc.astype(jnp.float32) * (sx * sw[None, None, :])
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)

@@ -50,6 +50,7 @@ def make_optimizers(cfg: VocoderTrainConfig, steps_per_epoch: int):
 def init_state(key, model_cfg: VocoderModelConfig,
                train_cfg: VocoderTrainConfig,
                steps_per_epoch: int) -> VocoderTrainState:
+    _check_trainable(model_cfg)
     kg, kp, ks = jax.random.split(key, 3)
     gen_params = gen.init_code_generator(kg, model_cfg)
     mpd_params = disc.init_mpd(kp)
@@ -74,6 +75,19 @@ def _mel(y: jnp.ndarray, mel_cfg: MelConfig) -> jnp.ndarray:
         win_size=mel_cfg.win_size, fmin=mel_cfg.fmin, fmax=None)
 
 
+def _check_trainable(model_cfg: VocoderModelConfig) -> None:
+    """The int8 path is serving-only: jnp.round has a zero VJP, so a
+    quantized generator would silently train with zero gradients through
+    every quantized conv. Fail fast instead."""
+    if model_cfg.quant != "none":
+        raise ValueError(
+            f"VocoderModelConfig.quant={model_cfg.quant!r} is a SERVING "
+            "config (ops/quant.py defines no custom VJP — generator "
+            "gradients through quantized convs are zero). Train with "
+            "quant='none' and enable quant at synthesis time "
+            "(synthesize --quant / bench.py).")
+
+
 @partial(jax.jit,
          static_argnames=("model_cfg", "train_cfg", "mel_cfg",
                           "steps_per_epoch"),
@@ -84,6 +98,7 @@ def train_step(state: VocoderTrainState, batch: dict,
     """batch: code (B, Tc) int32, spkr (B,) int32, audio (B, Ts) float32,
     mel (B, F, M) float32 ground-truth loss mel (precomputed or on-device).
     Returns (new_state, metrics)."""
+    _check_trainable(model_cfg)
     opt_g, opt_d = make_optimizers(train_cfg, steps_per_epoch)
 
     ddt = jnp.dtype(train_cfg.disc_dtype)

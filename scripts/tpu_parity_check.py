@@ -325,6 +325,18 @@ def serving_ab_time():
 
 def write_validation():
     path = REPO / "VALIDATION.md"
+    # merge with prior results so a partial run (--skip-decode /
+    # --skip-dropout) refreshes its sections without destroying the
+    # recorded evidence of the skipped ones
+    global RESULTS
+    prior = REPO / "validation_results.json"
+    if prior.exists():
+        try:
+            merged = json.loads(prior.read_text())
+            merged.update(RESULTS)
+            RESULTS = merged
+        except Exception:
+            pass
     lines = ["# VALIDATION — on-hardware parity gates",
              "",
              "Produced by `scripts/tpu_parity_check.py` running solo on the",
@@ -338,7 +350,17 @@ def write_validation():
              json.dumps(RESULTS, indent=2),
              "```",
              ""]
-    path.write_text("\n".join(lines))
+    # preserve the convergence-smoke section maintained by
+    # scripts/convergence_smoke.py (the two scripts share this file)
+    tail = ""
+    if path.exists():
+        old = path.read_text()
+        marker = "## Convergence smoke"
+        if marker in old:
+            tail = old[old.index(marker):]
+            if not tail.startswith("\n"):
+                tail = "\n" + tail
+    path.write_text("\n".join(lines) + tail)
     (REPO / "validation_results.json").write_text(json.dumps(RESULTS,
                                                              indent=2))
     log(f"wrote {path}")

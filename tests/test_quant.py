@@ -50,7 +50,7 @@ def test_int8_conv_matches_dequant_oracle(rng):
     b = jnp.asarray(rng.standard_normal(8), jnp.float32)
     y = quant.int8_conv_nwc(x, w, b, pads=(4, 4), rhs_dilation=2)
 
-    xq, sx = quant.quantize_per_tensor(x)
+    xq, sx = quant.quantize_per_row(x)
     wq, sw = quant.quantize_per_out_channel(w)
     ref = conv_ops.conv1d(
         xq.astype(jnp.float32) * sx,
@@ -58,6 +58,19 @@ def test_int8_conv_matches_dequant_oracle(rng):
         padding=4, dilation=2)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int8_conv_batch_invariance(rng):
+    """Per-row scales: one utterance's quantized output is independent of
+    its batchmates (a loud batchmate must not degrade a quiet one)."""
+    quiet = jnp.asarray(rng.standard_normal((1, 32, 16)) * 0.01, jnp.float32)
+    loud = jnp.asarray(rng.standard_normal((1, 32, 16)) * 10.0, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 16, 16)) * 0.2, jnp.float32)
+    solo = quant.int8_conv_nwc(quiet, w, None, pads=(1, 1))
+    pair = quant.int8_conv_nwc(jnp.concatenate([quiet, loud]), w, None,
+                               pads=(1, 1))
+    np.testing.assert_allclose(np.asarray(solo[0]), np.asarray(pair[0]),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_int8_conv_error_bound(rng):
