@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--codes", type=int, default=250)
     ap.add_argument("--dump", type=str, default=None,
                     help="also write the full HLO text here")
+    ap.add_argument("--quant", type=str, default="none",
+                    choices=["none", "int8-tail", "int8"])
     args = ap.parse_args()
 
     import jax
@@ -32,7 +34,8 @@ def main():
     from parrot_tts_tpu.core.config import VocoderModelConfig
     from parrot_tts_tpu.models.vocoder import generator as gen
 
-    cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16")
+    cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16",
+                              quant=args.quant)
     params = gen.fold_params(gen.init_code_generator(jax.random.key(0), cfg))
     rng = np.random.default_rng(0)
     code = jnp.asarray(rng.integers(0, cfg.num_embeddings,
@@ -75,12 +78,27 @@ def main():
         k for k, v in conv_fusions.items()
         if any(re.search(r"\b(maximum|multiply|add)\(", l) for l in v)}
 
+    # int8 path: where do quantize (round/clamp) and reductions land?
+    quant_in_conv = sum(
+        1 for v in conv_fusions.values()
+        if any("round-nearest" in l or "clamp(" in l for l in v))
+    standalone_quant = sum(
+        1 for k, v in fusion_bodies.items() if k not in conv_fusions
+        and any("round-nearest" in l or "clamp(" in l for l in v))
+    reduce_fusions = sum(
+        1 for v in fusion_bodies.values()
+        if any(re.search(r"\breduce\(", l) for l in v))
+
     report = {
+        "quant": args.quant,
         "total_fusions": len(fusion_bodies),
         "conv_fusions": len(conv_fusions),
         "conv_fusions_with_fused_elementwise": len(convs_with_elemwise),
         "standalone_elementwise_fusions": len(elemwise_only),
         "standalone_examples": list(elemwise_only)[:5],
+        "fusions_with_quantize_in_conv": quant_in_conv,
+        "standalone_quantize_fusions": standalone_quant,
+        "fusions_with_reduce": reduce_fusions,
     }
     print(json.dumps(report, indent=2))
 
