@@ -40,6 +40,11 @@ def main(argv=None):
                        help="monotonic-path durations from aligner posteriors")
     s.add_argument("--data-dir", required=True)
     s.add_argument("--ckpt-dir", required=True)
+    s.add_argument("--method", choices=("dijkstra", "beam"),
+                   default="dijkstra",
+                   help="path extraction: shortest-path DP (default) or "
+                        "k-best beam search (reference durations.method)")
+    s.add_argument("--beam-width", type=int, default=10)
 
     s = sub.add_parser("run-aligner-pipeline",
                        help="preprocess + train + extract for every speaker "
@@ -162,13 +167,24 @@ def _train_aligner(args):
 
 
 def _extract_durations(args):
-    from parrot_tts_tpu.core.checkpoint import CheckpointManager
-    from parrot_tts_tpu.pipeline.extract_durations import extract_all_durations
+    import jax
 
+    from parrot_tts_tpu.core.checkpoint import CheckpointManager
+    from parrot_tts_tpu.core.config import aligner_configs_from_json
+    from parrot_tts_tpu.pipeline.extract_durations import extract_all_durations
+    from parrot_tts_tpu.train import aligner as atrain
+
+    # rebuild the typed restore template from the config saved next to the
+    # ckpts (restoring without one yields raw dicts, not the state tuple)
+    mcfg, tcfg = aligner_configs_from_json(
+        (Path(args.ckpt_dir) / "config.json").read_text())
     mgr = CheckpointManager(args.ckpt_dir)
-    state = mgr.restore()
-    stats = extract_all_durations(args.data_dir, state["params"],
-                                  state["bn_state"])
+    state = mgr.restore(
+        template=atrain.init_state(jax.random.key(0), mcfg, tcfg))
+    stats = extract_all_durations(
+        args.data_dir, state.params, state.bn_state,
+        method=getattr(args, "method", "dijkstra"),
+        beam_width=getattr(args, "beam_width", 10))
     print(json.dumps(stats))
 
 

@@ -390,6 +390,25 @@ def to_json(cfg: Any) -> str:
     return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
 
 
+def aligner_configs_to_json(model_cfg: "AlignerModelConfig",
+                            train_cfg: "AlignerTrainConfig") -> str:
+    """Model + train config for the aligner checkpoint dir (the reference
+    embeds the config inside the checkpoint dict, utils/aligner/
+    trainer.py:77-88; here it lives in config.json next to the ckpts so the
+    extract-durations CLI can rebuild the restore template)."""
+    return json.dumps({"model": dataclasses.asdict(model_cfg),
+                       "train": dataclasses.asdict(train_cfg)}, indent=2)
+
+
+def aligner_configs_from_json(text: str):
+    d = json.loads(text)
+    t = dict(d["train"])
+    for k in ("mel_bucket_sizes", "token_bucket_sizes"):
+        if k in t and t[k] is not None:
+            t[k] = tuple(t[k])
+    return (AlignerModelConfig(**d["model"]), AlignerTrainConfig(**t))
+
+
 def vocoder_config_from_json(text: str) -> VocoderModelConfig:
     """Round-trip of to_json(VocoderModelConfig) — loads the config.json that
     pipeline/train_vocoder.py saves next to checkpoints, restoring the

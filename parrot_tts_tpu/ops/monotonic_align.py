@@ -99,6 +99,52 @@ def _durations_numpy(cost: np.ndarray) -> np.ndarray:
     return durations
 
 
+def extract_durations_beam(tokens: np.ndarray, posteriors: np.ndarray,
+                           k: int = 10):
+    """Beam-search alternative to the shortest-path DP.
+
+    Semantics of the reference's `extract_durations_beam`
+    (`/root/reference/utils/aligner/duration_extraction.py:88-110`): walk the
+    mel rows top to bottom; each hypothesis may stay on its current token or
+    advance by one; score is the running -log posterior of the visited cells;
+    keep the `k` best (stable order: existing-beam order, stay before
+    advance, ties preserved). A hypothesis whose advance step runs past the
+    last token is kept with +inf score (it survives only if fewer than `k`
+    finite candidates exist). Durations of a hypothesis are the bincount of
+    its token-index path, so trailing never-visited tokens are absent (the
+    returned vector can be shorter than `len(tokens)`).
+
+    Returns (durations_list, (paths, scores)): `durations_list[0]` is the
+    best hypothesis's durations, `paths` is an int (k, M) array of token
+    indices per mel row, `scores` the matching (k,) path costs.
+    """
+    data = posteriors[:, tokens]
+    m, n = data.shape
+    with np.errstate(divide="ignore"):
+        neglog = -np.log(data)
+    # hypotheses: positions (b,) current token index, scores (b,),
+    # paths (b, rows_so_far)
+    pos = np.array([0], np.int64)
+    # accumulate in the posteriors' dtype (reference: float32 running sums)
+    # so near-tie orderings agree bit-for-bit with the oracle
+    scores = np.array([neglog[0, 0]], neglog.dtype)
+    paths = np.zeros((1, 1), np.int64)
+    for i in range(1, m):
+        # candidate order matters for stable tie-breaks: for each existing
+        # hypothesis, stay (j) comes before advance (j+1)
+        cand_pos = np.stack([pos, pos + 1], axis=1).reshape(-1)
+        valid = cand_pos < n
+        step = np.full(cand_pos.shape, np.inf, neglog.dtype)
+        step[valid] = neglog[i, cand_pos[valid]]
+        cand_scores = np.repeat(scores, 2) + step
+        cand_paths = np.concatenate(
+            [np.repeat(paths, 2, axis=0), cand_pos[:, None]], axis=1)
+        keep = np.argsort(cand_scores, kind="stable")[:k]
+        pos, scores, paths = cand_pos[keep], cand_scores[keep], cand_paths[keep]
+    durations = [np.bincount(p) for p in paths]
+    return durations, (paths, scores)
+
+
 def extract_durations(tokens: np.ndarray, posteriors: np.ndarray,
                       use_native: bool = True) -> np.ndarray:
     """Args:

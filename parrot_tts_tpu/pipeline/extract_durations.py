@@ -15,7 +15,8 @@ from pathlib import Path
 import numpy as np
 
 from parrot_tts_tpu.data.aligner_data import AlignerDataset
-from parrot_tts_tpu.ops.monotonic_align import extract_durations
+from parrot_tts_tpu.ops.monotonic_align import (extract_durations,
+                                                extract_durations_beam)
 from parrot_tts_tpu.train.aligner import posteriors as posteriors_fn
 
 
@@ -26,9 +27,18 @@ def extract_all_durations(
     *,
     batch_size: int = 8,
     max_workers: int = 8,
+    method: str = "dijkstra",
+    beam_width: int = 10,
 ) -> dict:
     """Writes outputs/durations/<stem>.npy per item (reference layout,
-    utils/aligner/paths.py). Returns {'items': n}."""
+    utils/aligner/paths.py). Returns {'items': n}.
+
+    method: 'dijkstra' (native monotonic DP, the reference default) or
+    'beam' (k-best beam search, reference Extractor's alternative —
+    utils/aligner/extract_durations.py:35-36, config key durations.method).
+    """
+    if method not in ("dijkstra", "beam"):
+        raise ValueError(f"unknown duration extraction method: {method!r}")
     import jax.numpy as jnp
 
     data_dir = Path(data_dir)
@@ -56,13 +66,20 @@ def extract_all_durations(
                 stem, n_frames, _ = ds.index[gi]
                 tokens = items[i][1]
                 p = post[i, :n_frames]
-                jobs.append(pool.submit(_extract_one, out_dir, stem, tokens, p))
+                jobs.append(pool.submit(_extract_one, out_dir, stem, tokens,
+                                        p, method, beam_width))
         done = sum(1 for j in jobs if j.result() is not None)
     return {"items": done}
 
 
 def _extract_one(out_dir: Path, stem: str, tokens: np.ndarray,
-                 post: np.ndarray):
-    durs = extract_durations(np.asarray(tokens, np.int64), post)
+                 post: np.ndarray, method: str = "dijkstra",
+                 beam_width: int = 10):
+    tokens = np.asarray(tokens, np.int64)
+    if method == "beam":
+        durs_list, _ = extract_durations_beam(tokens, post, beam_width)
+        durs = durs_list[0]
+    else:
+        durs = extract_durations(tokens, post)
     np.save(out_dir / f"{stem}.npy", durs)
     return stem

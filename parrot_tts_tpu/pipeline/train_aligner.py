@@ -82,6 +82,12 @@ def train_aligner(
 
     state = atrain.init_state(jax.random.key(seed), model_cfg, train_cfg)
     mgr = CheckpointManager(data_dir / "ckpt")
+    # config next to the ckpts so extract-durations can rebuild the restore
+    # template (reference embeds config in the ckpt, trainer.py:77-88)
+    from parrot_tts_tpu.core import checkpoint as ckptlib
+    from parrot_tts_tpu.core.config import aligner_configs_to_json
+    ckptlib.save_config_json(data_dir / "ckpt",
+                             aligner_configs_to_json(model_cfg, train_cfg))
     if mgr.latest_step() is not None:
         state = mgr.restore(template=state)
     writer = MetricsWriter(Path(log_dir) if log_dir is not None

@@ -109,3 +109,39 @@ def test_native_and_numpy_agree(rng):
     a = ma.extract_durations(tokens, post, use_native=True)
     b = ma.extract_durations(tokens, post, use_native=False)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not reference_oracle.available(),
+                    reason="reference mount not present")
+def test_beam_extraction_matches_reference(rng):
+    from duration_extraction import extract_durations_beam as ref_beam
+
+    for trial in range(8):
+        m, n, v = int(rng.integers(15, 50)), int(rng.integers(4, 12)), 20
+        post = rng.random((m, v)).astype(np.float32)
+        post = post / post.sum(axis=1, keepdims=True)
+        tokens = rng.integers(0, v, size=n)
+
+        want_durs, want_seqs = ref_beam(tokens, post, 10)
+        got_durs, (got_paths, got_scores) = ma.extract_durations_beam(
+            tokens, post, 10)
+        assert len(got_durs) == len(want_durs)
+        for w, g in zip(want_durs, got_durs):
+            np.testing.assert_array_equal(g, w)
+        for (w_seq, w_score), g_path, g_score in zip(
+                want_seqs, got_paths, got_scores):
+            np.testing.assert_array_equal(g_path, np.asarray(w_seq))
+            assert (np.isinf(w_score) and np.isinf(g_score)) or \
+                abs(float(w_score) - float(g_score)) < 1e-5
+
+
+def test_beam_short_sequence_edge(rng):
+    # M < N: path can never reach the last tokens; bincount is shorter than
+    # len(tokens) (reference behavior, duration_extraction.py:106-108)
+    m, n, v = 4, 9, 12
+    post = rng.random((m, v)).astype(np.float32)
+    tokens = rng.integers(0, v, size=n)
+    durs, (paths, scores) = ma.extract_durations_beam(tokens, post, 10)
+    assert durs[0].sum() == m
+    assert len(durs[0]) <= m  # at most one advance per row after the first
+    assert np.isfinite(scores[0])
