@@ -43,14 +43,35 @@ def run(src_len: int = SRC_LEN, tgt_len: int = TGT_LEN, batch: int = BATCH,
         dur_n_filter=256, dur_kernel_size=3, dur_dropout_p=0.5,
         hubert_codes=1000, n_speaker=10, vocab_size=100, pad_idx=0,
         remat=not no_remat)
+    _saved_gates = None
     if force_xla_attn:
         from parrot_tts_tpu.ops import attention as attn_ops
         # patch BOTH gates: _use_flash picks the attention path, and
         # flash_available gates FFT-block remat in parrot._run_stack —
         # forcing only the former would measure a no-remat XLA config that
-        # is not any production path (and can OOM at the 3584 bucket)
+        # is not any production path (and can OOM at the 3584 bucket).
+        # Saved + restored in the finally below so later run() calls in the
+        # same process don't silently measure the forced-XLA config.
+        _saved_gates = (attn_ops._use_flash, attn_ops.flash_available)
         attn_ops._use_flash = lambda *a, **k: False
         attn_ops.flash_available = lambda *a, **k: False
+    try:
+        return _run_inner(cfg, batch, src_len, tgt_len, iters)
+    finally:
+        if _saved_gates is not None:
+            from parrot_tts_tpu.ops import attention as attn_ops
+            attn_ops._use_flash, attn_ops.flash_available = _saved_gates
+
+
+def _run_inner(cfg, batch: int, src_len: int, tgt_len: int,
+               iters: int) -> dict:
+    import numpy as np
+
+    import jax
+
+    from parrot_tts_tpu.core.config import TTETrainConfig
+    from parrot_tts_tpu.train import tte as tte_train
+
     tcfg = TTETrainConfig(batch_size=batch, grad_acc_steps=GRAD_ACC,
                           warmup_steps=2000, total_steps=50_000)
 

@@ -41,17 +41,30 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, step: int | None = None, template: Any = None) -> Any:
+    def restore(self, step: int | None = None, template: Any = None,
+                with_metadata: bool = False) -> Any:
+        """Restore state at `step` (latest by default). With
+        with_metadata=True returns (state, metadata_dict_or_None) — the
+        metadata the trainer saved alongside (step / val losses; the
+        reference embeds these in the Lightning ckpt name + file,
+        train.py:144-151,62)."""
         if step is None:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        if template is not None:
-            args = ocp.args.Composite(
-                state=ocp.args.StandardRestore(template))
-        else:
-            args = ocp.args.Composite(state=ocp.args.StandardRestore())
-        out = self._mgr.restore(step, args=args)
+        parts = {"state": (ocp.args.StandardRestore(template)
+                           if template is not None
+                           else ocp.args.StandardRestore())}
+        has_meta = False
+        if with_metadata:
+            # items live at <dir>/<step>/<item_name>; probing disk avoids
+            # depending on item_metadata API details across orbax versions
+            has_meta = (self.directory / str(step) / "metadata").exists()
+            if has_meta:
+                parts["metadata"] = ocp.args.JsonRestore()
+        out = self._mgr.restore(step, args=ocp.args.Composite(**parts))
+        if with_metadata:
+            return out["state"], (out["metadata"] if has_meta else None)
         return out["state"]
 
     def close(self):

@@ -173,10 +173,12 @@ class VocoderModelConfig:
     # 1.81x — see PERF.md round 2c), so removing HBM round trips buys
     # nothing. Kept as tested infrastructure; off by default.
     fused_mrf: bool = False
-    # int8 MXU serving path (ops/quant.py): "none" | "int8-tail" | "int8".
-    # The folded serving graph is MXU-bound at 75% of the bf16 peak on
-    # executed FLOPs (PERF.md round 2c), so the remaining lever is rate:
-    # v5e int8 runs 2x bf16. "int8-tail" quantizes only the folded
+    # int8 serving path (ops/quant.py): "none" | "int8-tail" | "int8".
+    # Measured mechanism (PERF.md 3b): the gain is halved activation HBM
+    # bytes (+12.6% end-to-end), NOT the nominal 2x int8 MXU rate — XLA
+    # decomposes quantized convs and runs them at bf16 speed (see the
+    # quant.py docstring and the round-3 HLO diagnostic).
+    # "int8-tail" quantizes only the folded
     # (lane-packed) stages; "int8" also quantizes the unfolded MRF stages
     # and upsamples (per-batch-row dynamic activation scales). conv_pre
     # and conv_post always stay in `dtype` (embedding head / waveform

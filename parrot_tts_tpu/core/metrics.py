@@ -50,13 +50,20 @@ class CsvLogger:
     def log(self, step: int, **metrics: float) -> None:
         row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
         self._rows.append(row)
-        for k in row:
-            if k not in self._fields:
-                self._fields.append(k)
-        with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fields)
-            w.writeheader()
-            w.writerows(self._rows)
+        new_fields = [k for k in row if k not in self._fields]
+        if new_fields:
+            # field set changed: rewrite once with the widened header
+            self._fields.extend(new_fields)
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fields)
+                w.writeheader()
+                w.writerows(self._rows)
+        else:
+            # steady state: append the one new row (the reference's
+            # Lightning CSVLogger also appends; rewriting the whole file
+            # per call is O(n^2) over a long run)
+            with open(self.path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fields).writerow(row)
 
 
 class MetricsWriter:

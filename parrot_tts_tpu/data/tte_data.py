@@ -29,6 +29,8 @@ class TTESample:
     phones: np.ndarray       # (S,) int32
     codes: np.ndarray        # (T,) int32
     duration: np.ndarray     # (S,) int32
+    audio: str = ""          # manifest audio path (reference keeps it so
+                             # inference.py:61-62 can record true durations)
 
 
 class TTEDataset:
@@ -52,6 +54,7 @@ class TTEDataset:
                 phones=np.asarray(phones, np.int32),
                 codes=np.asarray(codes, np.int32),
                 duration=np.asarray(durs, np.int32),
+                audio=d["audio"],
             ))
 
     def __len__(self):
@@ -73,8 +76,14 @@ def pick_bucket(buckets: tuple[int, ...], length: int) -> int:
 
 
 def collate(samples: list[TTESample], src_len: int, tgt_len: int,
-            src_pad_idx: int, code_pad_idx: int) -> dict:
-    """Fixed-shape batch (reference collate_fn semantics, data.py:102-119)."""
+            src_pad_idx: int, code_pad_idx: int,
+            sample_weight: list[float] | None = None) -> dict:
+    """Fixed-shape batch (reference collate_fn semantics, data.py:102-119).
+
+    sample_weight: per-sample loss weights (default all 1.0). The loader
+    sets 0.0 on rows that only repeat an earlier sample to keep the batch
+    shape static, so those rows contribute nothing to the loss — matching
+    the reference, whose last partial batch is simply smaller."""
     b = len(samples)
     phones = np.full((b, src_len), src_pad_idx, np.int32)
     codes = np.full((b, tgt_len), code_pad_idx, np.int32)
@@ -92,9 +101,12 @@ def collate(samples: list[TTESample], src_len: int, tgt_len: int,
         tgt_mask[i, :nt] = True
         speaker[i] = s.speaker
         ids.append(s.id)
+    weight = (np.ones((b,), np.float32) if sample_weight is None
+              else np.asarray(sample_weight, np.float32))
     return {
         "ids": ids, "phones": phones, "codes": codes, "duration": duration,
         "src_mask": src_mask, "tgt_mask": tgt_mask, "speaker": speaker,
+        "sample_weight": weight,
     }
 
 
@@ -156,15 +168,22 @@ class BucketedLoader:
         local = self.batch_size // self.process_count
         for src_len, tgt_len, chunk in all_batches:
             idxs = list(chunk)
-            # keep shapes static: pad short batches by repeating sample 0
+            # keep shapes static: pad short batches by repeating sample 0,
+            # but zero those rows' loss weight (repeating with weight 1
+            # would double-count the repeated sample's gradient; the
+            # reference's last partial batch is simply smaller)
+            weights = [1.0] * len(idxs)
             while len(idxs) < self.batch_size:
                 idxs.append(idxs[0])
+                weights.append(0.0)
             if self.process_count > 1:
-                idxs = idxs[self.process_index * local
-                            : (self.process_index + 1) * local]
+                sl = slice(self.process_index * local,
+                           (self.process_index + 1) * local)
+                idxs, weights = idxs[sl], weights[sl]
             samples = [self.ds.samples[i] for i in idxs]
             yield collate(samples, src_len, tgt_len,
-                          self.ds.src_pad_idx, self.ds.code_pad_idx)
+                          self.ds.src_pad_idx, self.ds.code_pad_idx,
+                          sample_weight=weights)
 
 
 def shard_for_host(indices: np.ndarray, process_index: int,

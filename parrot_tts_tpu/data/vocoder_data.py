@@ -126,7 +126,10 @@ class VocoderLoader:
         if self.shuffle:
             rng.shuffle(order)
         if 0 < len(order) < self.batch_size:
-            # tiny datasets: cycle indices so one static-shape batch exists
+            # tiny datasets: cycle indices so one static-shape batch exists.
+            # Accepted bias: repeats are NOT duplicate gradients — each
+            # occurrence draws an independent random segment crop below
+            # (load_item advances rng), i.e. sampling with replacement.
             order = np.resize(order, self.batch_size)
         local = self.batch_size // self.process_count
         n_full = len(order) // self.batch_size

@@ -128,13 +128,22 @@ def write_predictions(
     out_path = Path(out_path)
     preds = predict_units(params, dataset, model_cfg, **kwargs)
     out_path.parent.mkdir(parents=True, exist_ok=True)
+    missing = 0
     with open(out_path, "w") as f:
         for i, (s, p) in enumerate(zip(dataset.samples, preds)):
-            audio = (audio_paths[i] if audio_paths else f"{s.id}.wav")
+            # real manifest path (the reference records true audio
+            # durations from it, inference.py:61-62)
+            audio = (audio_paths[i] if audio_paths
+                     else (s.audio or f"{s.id}.wav"))
             try:
                 dur = duration_seconds(audio)
             except Exception:
+                missing += 1
                 dur = len(s.codes) * 320 / 16000.0
             f.write(str({"audio": audio, "hubert": p.get("hubert", ""),
                          "duration": dur}) + "\n")
+    if missing:
+        warnings.warn(
+            f"{missing}/{len(dataset.samples)} audio files were unreadable; "
+            "their 'duration' fields fall back to GT-code-count seconds")
     return out_path

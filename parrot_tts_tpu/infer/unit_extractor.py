@@ -149,7 +149,7 @@ class UnitExtractor:
         inflight: list[tuple[list[int], object]] = []
         for grp in jobs:
             inflight.append((grp, self._launch_batch([wavs[i] for i in grp])))
-            if len(inflight) > window:
+            if len(inflight) >= window:
                 done_grp, launched = inflight.pop(0)
                 for i, c in zip(done_grp, self._fetch_batch(launched)):
                     out[i] = c

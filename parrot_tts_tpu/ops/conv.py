@@ -55,6 +55,24 @@ def conv1d(
     return out
 
 
+_WARNED_QUANT_FALLBACK: set = set()
+
+
+def _warn_quant_fallback(k: int, stride: int, padding: int) -> None:
+    """One-time signal when a quant request cannot use the packed int8
+    path (all shipped configs satisfy K - 2*padding == stride, so this
+    only fires on custom upsample topologies)."""
+    key = (k, stride, padding)
+    if key not in _WARNED_QUANT_FALLBACK:
+        _WARNED_QUANT_FALLBACK.add(key)
+        import warnings
+
+        warnings.warn(
+            f"conv_transpose1d(K={k}, stride={stride}, padding={padding}): "
+            "quant=True requires K - 2*padding == stride (polyphase "
+            "packing); this layer runs the float lowering instead")
+
+
 def conv_transpose1d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -87,6 +105,8 @@ def conv_transpose1d(
                                            precision, quant=quant)
     # quant needs the polyphase packing (stride-1 NWC form); topologies
     # outside K - 2*padding == stride fall back to the float lowering
+    if quant:
+        _warn_quant_fallback(k, stride, padding)
     w_flip = jnp.flip(w, axis=0)
     out = jax.lax.conv_general_dilated(
         x,

@@ -1,13 +1,16 @@
 """Dynamic int8 quantized convolution for the vocoder serving path.
 
-Why: PERF.md round 2c showed the folded serving graph is MXU-bound at 75%
-of the chip's bf16 peak on EXECUTED FLOPs — the 1.81x block-Toeplitz
-structured-zero inflation is the measured-optimal price of full lane
-occupancy, so the remaining throughput lever is arithmetic RATE, not
-scheduling. TPU v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197
-TOPS/TFLOPS); quantizing the conv operands to int8 halves the time of every
-MXU-resident stage at a measured, bounded fidelity cost (reported next to
-the bf16 bound — see scripts/tpu_parity_check.py).
+Why (measured, round 3 — see PERF.md 3b and bench.py): the win is HBM
+traffic, NOT MXU rate. The nominal 2x int8 MXU rate (394 vs 197 TOPS) is
+NOT delivered through XLA on this chip: `scripts/exp_int8_micro.py`
+measured int8 dot_general at 1.0-1.12x bf16 and pre-quantized int8 convs
+~10x SLOWER (XLA decomposes quantized convs — 15 conv fusions vs bf16's
+147, `scripts/hlo_fusion_report.py --quant int8`). Dynamic-quant convs run
+at bf16 MXU speed, and the measured end-to-end serving gain (+12.6%,
+5016->5647 A/B) comes from halving the activation bytes each fusion reads
+and writes. Fidelity cost is measured and bounded on hardware
+(scripts/tpu_parity_check.py). Whether a hand Pallas kernel can reach the
+2x rate is a separate question from XLA's lowering.
 
 Scheme (standard symmetric dynamic PTQ):
   * weights: per-output-channel symmetric scales over the PACKED kernel

@@ -71,6 +71,7 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
     micro_steps = int(state.step)
     epoch = 0
     done = False
+    last_val: dict = {}
     while not done:
         made_progress = False
         for batch in device_prefetch(loader.batches(epoch), mesh):
@@ -91,11 +92,16 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
                         thr.report()["seconds_per_batch"]})
                 thr.reset()
             if micro_steps % (tcfg.val_every * tcfg.grad_acc_steps) == 0:
-                val = evaluate(state.params, val_loader, model_cfg)
+                last_val = evaluate(state.params, val_loader, model_cfg)
                 writer.scalars(opt_steps, **{f"val_{k}": v
-                                             for k, v in val.items()})
+                                             for k, v in last_val.items()})
             if micro_steps % (tcfg.save_every * tcfg.grad_acc_steps) == 0:
-                mgr.save(opt_steps, jax.device_get(state))
+                # step + latest val losses ride along as ckpt metadata
+                # (reference embeds them in the ckpt name, train.py:144-151)
+                mgr.save(opt_steps, jax.device_get(state),
+                         metadata={"step": opt_steps,
+                                   **{f"val_{k}": v
+                                      for k, v in last_val.items()}})
             if opt_steps >= total:
                 done = True
                 break
@@ -104,6 +110,8 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
         epoch += 1
 
     mgr.save(micro_steps // tcfg.grad_acc_steps, jax.device_get(state),
+             metadata={"step": micro_steps // tcfg.grad_acc_steps,
+                       **{f"val_{k}": v for k, v in last_val.items()}},
              wait=True)
     writer.close()
     return {"steps": micro_steps // tcfg.grad_acc_steps, "epochs": epoch}

@@ -136,7 +136,15 @@ def validate(gen_params, val_ds: VocoderDataset, mcfg, mel_cfg, tcfg,
             writer.audio(f"generated/y_hat_{i}",
                          np.asarray(y_hat)[0, :, 0], step,
                          mel_cfg.sampling_rate)
+            # spectrogram of the GENERATED audio (reference
+            # train.py:221-226), not of the ground-truth mel
+            y_hat_mel = stft.mel_spectrogram(
+                y_hat[:, :, 0], n_fft=mel_cfg.n_fft,
+                num_mels=mel_cfg.num_mels,
+                sampling_rate=mel_cfg.sampling_rate,
+                hop_size=mel_cfg.hop_size, win_size=mel_cfg.win_size,
+                fmin=mel_cfg.fmin, fmax=None)
             writer.figure_spectrogram(
                 f"generated/y_hat_spec_{i}",
-                np.asarray(batch["mel"])[0], step)
+                np.asarray(y_hat_mel)[0], step)
     return float(np.mean(errs)) if errs else float("nan")

@@ -65,7 +65,8 @@ def loss_fn(params, batch, model_cfg: TTEModelConfig, out_len: int,
         dropout_rng=dropout_rng, deterministic=deterministic)
     total, code, dur = tte_loss(
         logits, log_dur, batch["codes"], batch["duration"],
-        batch["src_mask"], num_codes=model_cfg.hubert_codes)
+        batch["src_mask"], num_codes=model_cfg.hubert_codes,
+        sample_weight=batch.get("sample_weight"))
     return total, {"total_loss": total, "code_loss": code, "dur_loss": dur}
 
 

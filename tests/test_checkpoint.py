@@ -44,6 +44,46 @@ def test_manager_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_manager_metadata_roundtrip(tmp_path):
+    """Val-loss metadata rides along with the save and is surfaced by
+    restore(with_metadata=True) (reference embeds step+val_loss in the
+    Lightning ckpt name, train.py:144-151)."""
+    state = {"w": jnp.arange(4.0)}
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(7, jax.device_get(state),
+             metadata={"step": 7, "val_total_loss": 1.25}, wait=True)
+    restored, meta = mgr.restore(template=jax.device_get(state),
+                                 with_metadata=True)
+    _tree_equal(restored, state)
+    assert meta == {"step": 7, "val_total_loss": 1.25}
+    # saves without metadata surface None, not an error
+    mgr.save(8, jax.device_get(state), wait=True)
+    _, meta2 = mgr.restore(step=8, template=jax.device_get(state),
+                           with_metadata=True)
+    assert meta2 is None
+    mgr.close()
+
+
+def test_csv_logger_appends(tmp_path):
+    """Steady-state logging appends; widening the field set rewrites once
+    with the new header (core/metrics.py CsvLogger)."""
+    from parrot_tts_tpu.core.metrics import CsvLogger
+
+    lg = CsvLogger(tmp_path)
+    lg.log(1, loss=1.0)
+    lg.log(2, loss=0.5)
+    sizes = [lg.path.stat().st_size]
+    lg.log(3, loss=0.25)
+    sizes.append(lg.path.stat().st_size)
+    assert sizes[1] > sizes[0]  # grew by appending
+    lg.log(4, loss=0.2, extra=9.0)  # widen -> rewrite with both columns
+    import csv as csvmod
+
+    rows = list(csvmod.DictReader(open(lg.path)))
+    assert len(rows) == 4
+    assert rows[0]["loss"] == "1.0" and rows[3]["extra"] == "9.0"
+
+
 def test_plain_params_roundtrip(tmp_path):
     params = {"a": jnp.arange(6.0).reshape(2, 3),
               "nested": [{"w": jnp.ones((4,))}, {"w": jnp.zeros((2,))}]}

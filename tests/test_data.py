@@ -134,6 +134,56 @@ def test_tte_bucketed_loader(tmp_path, rng):
         seen += 1
     assert seen >= 2  # multiple buckets exercised
 
+    # static-shape filler rows (repeats of sample 0) carry weight 0.0 so
+    # partial batches don't double-count gradients; real rows carry 1.0
+    any_partial = False
+    for batch in loader.batches(0):
+        w = batch["sample_weight"]
+        assert w.shape == (4,) and w.dtype == np.float32
+        n_real = int(w.sum())
+        if n_real < 4:
+            any_partial = True
+            # filler rows are literal repeats of row 0
+            for j in range(n_real, 4):
+                np.testing.assert_array_equal(batch["phones"][j],
+                                              batch["phones"][0])
+                assert w[j] == 0.0
+    assert any_partial  # 7 samples / batch 4 must produce a partial batch
+
+
+def test_tte_loss_sample_weight_drops_filler(rng):
+    """Weighted loss over a padded batch == loss over the unpadded batch."""
+    import jax.numpy as jnp
+
+    from parrot_tts_tpu.models.tte.loss import tte_loss
+
+    b, s, t, v = 3, 6, 10, 12
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    log_dur = rng.standard_normal((b, s)).astype(np.float32)
+    codes = rng.integers(0, v, size=(b, t)).astype(np.int32)
+    codes[:, t - 2:] = v  # some pad
+    durs = rng.integers(1, 5, size=(b, s)).astype(np.int32)
+    mask = np.ones((b, s), bool)
+    mask[:, s - 1] = False
+
+    # padded batch: row 2 repeats row 0 with weight 0
+    logits_p = np.concatenate([logits, logits[:1]], 0)
+    log_dur_p = np.concatenate([log_dur, log_dur[:1]], 0)
+    codes_p = np.concatenate([codes, codes[:1]], 0)
+    durs_p = np.concatenate([durs, durs[:1]], 0)
+    mask_p = np.concatenate([mask, mask[:1]], 0)
+    w = np.asarray([1.0, 1.0, 1.0, 0.0], np.float32)
+
+    want = tte_loss(jnp.asarray(logits), jnp.asarray(log_dur),
+                    jnp.asarray(codes), jnp.asarray(durs),
+                    jnp.asarray(mask), num_codes=v)
+    got = tte_loss(jnp.asarray(logits_p), jnp.asarray(log_dur_p),
+                   jnp.asarray(codes_p), jnp.asarray(durs_p),
+                   jnp.asarray(mask_p), num_codes=v,
+                   sample_weight=jnp.asarray(w))
+    for a, c in zip(want, got):
+        np.testing.assert_allclose(float(c), float(a), rtol=2e-6)
+
 
 def test_vocoder_dataset_segment(tmp_path, rng):
     from parrot_tts_tpu.data.vocoder_data import VocoderDataset
