@@ -40,7 +40,12 @@ class ParrotTTS:
         src_buckets: tuple[int, ...] = SRC_BUCKETS,
         out_len_per_token: int = 16,
         batch_size: int = 64,
+        exact: bool | str = True,
     ):
+        """exact: decode precision mode (models/tte/parrot.py::infer_codes)
+        — True = full-f32 matmuls; "selective" = f32 only on the
+        decision-sensitive sections (hardware-gated unit-exact,
+        scripts/tpu_parity_check.py); False = all default precision."""
         import jax
 
         self.tte_cfg = tte_cfg
@@ -49,6 +54,7 @@ class ParrotTTS:
         self.src_buckets = src_buckets
         self.out_len_per_token = out_len_per_token
         self.batch_size = batch_size
+        self.exact = exact
         self.tte_params = fold_tte_params(tte_params) if fold else tte_params
         self.vocoder = VocoderSynthesizer(vocoder_params, vocoder_cfg,
                                           fold=fold)
@@ -82,7 +88,8 @@ class ParrotTTS:
         # overflow samples (predicted duration > bucket) re-decode in a larger
         # bucket inside decode_buckets — no silent truncation
         return decode_buckets(self._infer, self.tte_params, self.tte_cfg,
-                              samples, plan, batch_size=self.batch_size)
+                              samples, plan, batch_size=self.batch_size,
+                              exact=self.exact)
 
     def tts(self, texts: Sequence[str],
             speakers: Sequence[int] | None = None,

@@ -35,6 +35,7 @@ def decode_buckets(
     plan: list[tuple[int, int, list[int]]],
     *,
     batch_size: int,
+    exact: bool | str = True,
 ) -> list[np.ndarray]:
     """Run greedy decode over a (s_len, out_len, indices) bucket plan,
     re-decoding any sample whose predicted total duration overflows its
@@ -65,7 +66,7 @@ def decode_buckets(
                      "src_mask": jnp.asarray(src_mask),
                      "speaker": jnp.asarray(speaker)}
             codes, mask, total = infer(params, batch, cfg=model_cfg,
-                                       out_len=out_len)
+                                       out_len=out_len, exact=exact)
             codes, mask = np.asarray(codes), np.asarray(mask)
             total = np.asarray(total)
             for j, gi in enumerate(chunk):

@@ -79,16 +79,24 @@ class UnitExtractor:
                 return b
         return self.buckets[-1]
 
-    def _launch_batch(self, wavs: Sequence[np.ndarray]):
-        """Enqueue one device call for wavs sharing a bucket; returns
-        device arrays (NOT fetched) so callers can pipeline."""
+    def _prepare_batch(self, wavs: Sequence[np.ndarray]):
+        """Host side of a batch launch: pad to the bucket and start the
+        host->device transfer. Safe to call from an upload thread — this
+        is the ~10 MB synchronous cost that must overlap device compute
+        (PERF.md 3e: the upload was 57% of the streaming gap)."""
         lens = np.array([len(w) for w in wavs], np.int32)
         bucket = self._bucket(int(lens.max()))
         batch = np.zeros((len(wavs), bucket), np.float32)
         for i, w in enumerate(wavs):
             batch[i, : len(w)] = w
+        return bucket, jax.device_put(batch), jax.device_put(lens)
+
+    def _launch_batch(self, wavs: Sequence[np.ndarray]):
+        """Enqueue one device call for wavs sharing a bucket; returns
+        device arrays (NOT fetched) so callers can pipeline."""
+        bucket, dev_batch, dev_lens = self._prepare_batch(wavs)
         return self._compiled(bucket)(
-            self.params, self.centers, jnp.asarray(batch), jnp.asarray(lens))
+            self.params, self.centers, dev_batch, dev_lens)
 
     @staticmethod
     def _fetch_batch(launched) -> list[np.ndarray]:
@@ -145,15 +153,31 @@ class UnitExtractor:
             for s in range(0, len(idxs), self.batch_size):
                 jobs.append(idxs[s: s + self.batch_size])
 
+        # two-stage pipeline: an upload thread pads + device_puts batch
+        # i+1..i+k while the main thread launches compute and drains
+        # readbacks in order — the corpus pass pays
+        # ~max(compute, upload, readback) per batch instead of their sum
+        import concurrent.futures as cf
+
         window = 4
         inflight: list[tuple[list[int], object]] = []
-        for grp in jobs:
-            inflight.append((grp, self._launch_batch([wavs[i] for i in grp])))
-            if len(inflight) >= window:
-                done_grp, launched = inflight.pop(0)
+        with cf.ThreadPoolExecutor(max_workers=1) as uploader:
+            preps = [uploader.submit(
+                self._prepare_batch, [wavs[i] for i in grp])
+                for grp in jobs[:window]]
+            for gi, grp in enumerate(jobs):
+                bucket, dev_batch, dev_lens = preps[gi].result()
+                if gi + window < len(jobs):
+                    preps.append(uploader.submit(
+                        self._prepare_batch,
+                        [wavs[i] for i in jobs[gi + window]]))
+                inflight.append((grp, self._compiled(bucket)(
+                    self.params, self.centers, dev_batch, dev_lens)))
+                if len(inflight) >= window:
+                    done_grp, launched = inflight.pop(0)
+                    for i, c in zip(done_grp, self._fetch_batch(launched)):
+                        out[i] = c
+            for done_grp, launched in inflight:
                 for i, c in zip(done_grp, self._fetch_batch(launched)):
                     out[i] = c
-        for done_grp, launched in inflight:
-            for i, c in zip(done_grp, self._fetch_batch(launched)):
-                out[i] = c
         return out  # type: ignore[return-value]

@@ -180,6 +180,7 @@ def apply_parrot(
     dropout_rng: jax.Array | None = None,
     deterministic: bool = True,
     precision=None,
+    selective_exact: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward pass (reference parrot.py:90-110).
 
@@ -188,8 +189,18 @@ def apply_parrot(
       tgt_mask (B,T) True=valid.
     out_len: static decoder length (bucket >= max total duration).
 
+    selective_exact: run ONLY the decision-sensitive sections with
+    full-f32 matmuls — the encoder + duration predictor (their output
+    passes through `round(exp(p)-1)`, where a bf16-pass near-tie flips a
+    LENGTH and derails the whole decode) and the 1000-way head (argmax
+    near-ties) — while the decoder FFT stack, the dominant cost at
+    T up to 3584, runs default-precision. Exactness is gated on hardware
+    by scripts/tpu_parity_check.py (VERDICT r3 #3).
+
     Returns (logits (B,out_len,n_codes), tgt_mask True=valid, log_dur_pred).
     """
+    enc_ctx = (jax.default_matmul_precision("highest") if selective_exact
+               else contextlib.nullcontext())
     pe = pos_table(cfg)
     src_mask = batch["src_mask"]
     src_pad = ~src_mask
@@ -201,21 +212,23 @@ def apply_parrot(
     # keep pads batch-invariant (they'd otherwise carry the PE row)
     x = x * src_mask[:, :, None].astype(x.dtype)
 
-    enc_rng = (jax.random.fold_in(dropout_rng, 100)
-               if dropout_rng is not None else None)
-    x = _run_stack(params["encoder_layers"], x, cfg, cfg.encoder, src_pad,
-                   enc_rng, deterministic, precision)
+    with enc_ctx:
+        enc_rng = (jax.random.fold_in(dropout_rng, 100)
+                   if dropout_rng is not None else None)
+        x = _run_stack(params["encoder_layers"], x, cfg, cfg.encoder,
+                       src_pad, enc_rng, deterministic, precision)
 
-    if "speaker_emb" in params:
-        spk = jnp.take(params["speaker_emb"], batch["speaker"], axis=0)
-        x = x + spk[:, None, :]
-        x = x * src_mask[:, :, None].astype(x.dtype)
+        if "speaker_emb" in params:
+            spk = jnp.take(params["speaker_emb"], batch["speaker"], axis=0)
+            x = x + spk[:, None, :]
+            x = x * src_mask[:, :, None].astype(x.dtype)
 
-    dp_rng = (jax.random.fold_in(dropout_rng, 200)
-              if dropout_rng is not None else None)
-    log_dur_pred = apply_duration_predictor(
-        params["duration_predictor"], x, src_pad, cfg,
-        dropout_rng=dp_rng, deterministic=deterministic, precision=precision)
+        dp_rng = (jax.random.fold_in(dropout_rng, 200)
+                  if dropout_rng is not None else None)
+        log_dur_pred = apply_duration_predictor(
+            params["duration_predictor"], x, src_pad, cfg,
+            dropout_rng=dp_rng, deterministic=deterministic,
+            precision=precision)
 
     if inference:
         durations = lr_ops.durations_from_log_pred(log_dur_pred)
@@ -244,8 +257,9 @@ def apply_parrot(
     x = _run_stack(params["decoder_layers"], x, cfg, cfg.decoder, ~valid_t,
                    dec_rng, deterministic, precision)
 
-    logits = jnp.einsum("btd,dc->btc", x, params["head"]["w"],
-                        precision=precision) + params["head"]["b"]
+    with enc_ctx:  # head argmax near-ties need f32 under selective_exact
+        logits = jnp.einsum("btd,dc->btc", x, params["head"]["w"],
+                            precision=precision) + params["head"]["b"]
     return logits, tgt_mask, log_dur_pred
 
 
@@ -271,8 +285,21 @@ def infer_codes(
     matmuls: the TPU's default bf16-pass matmuls perturb logits enough to
     flip argmax on near-ties, breaking unit-exact decode vs the reference —
     measured on hardware by scripts/tpu_parity_check.py round 3 (the same
-    effect round 2 found for HuBERT k-means argmin). exact=False keeps the
-    default-precision fast path for throughput-only use."""
+    effect round 2 found for HuBERT k-means argmin). exact="selective"
+    keeps f32 only on the decision-sensitive sections (encoder + duration
+    predictor + head; see apply_parrot) and runs the dominant decoder
+    stack at default precision — gated unit-exact on hardware by
+    scripts/tpu_parity_check.py. exact=False is the all-default fast path
+    for throughput-only use (measured NOT unit-exact)."""
+    if exact == "selective":
+        logits, tgt_mask, log_dur = apply_parrot(
+            params, batch, cfg, out_len=out_len, inference=True,
+            deterministic=True, precision=precision, selective_exact=True)
+        with jax.default_matmul_precision("highest"):
+            durations = jnp.where(batch["src_mask"],
+                                  lr_ops.durations_from_log_pred(log_dur), 0)
+        return (jnp.argmax(logits, axis=-1), tgt_mask,
+                jnp.sum(durations, axis=1))
     ctx = (jax.default_matmul_precision("highest") if exact
            else contextlib.nullcontext())
     with ctx:

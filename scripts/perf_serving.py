@@ -28,7 +28,13 @@ WORDS = ("the quick brown fox jumps over a lazy dog and sings ringing "
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--exact", choices=("full", "selective", "off"),
+                    default="full",
+                    help="TTE decode precision mode (A/B: 'selective' runs "
+                         "the decoder stack at default precision, gated "
+                         "unit-exact by tpu_parity_check)")
     args = ap.parse_args()
+    exact = {"full": True, "selective": "selective", "off": False}[args.exact]
 
     import jax
 
@@ -63,7 +69,7 @@ def main():
     voc_params = gen.init_code_generator(jax.random.key(1), voc_cfg)
 
     engine = ParrotTTS(tte_params, tte_cfg, voc_params, voc_cfg,
-                       tokenizer, CLEANERS["english_cleaners"])
+                       tokenizer, CLEANERS["english_cleaners"], exact=exact)
 
     rng = np.random.default_rng(0)
     texts = [" ".join(rng.choice(WORDS, size=int(rng.integers(8, 28))))
@@ -79,6 +85,7 @@ def main():
 
     print(json.dumps({
         "n_texts": args.n,
+        "exact": args.exact,
         "wall_s": round(dt, 3),
         "audio_seconds": round(audio_s, 1),
         "audio_s_per_s": round(audio_s / dt, 1),

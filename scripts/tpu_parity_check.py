@@ -203,6 +203,21 @@ def tte_decode_parity():
     assert np.array_equal(codes[mask], np.asarray(codes_x)[np.asarray(mask_x)])
     log("  flash decode == forced-XLA decode on-chip (argmax preserved)")
 
+    # selective-precision mode: f32 only on encoder + duration predictor +
+    # head, decoder stack at default precision (VERDICT r3 #3). GATED: it
+    # must remain unit-exact vs the torch oracle to be a serving mode.
+    codes_s, mask_s, total_s = parrot.infer_codes(
+        params, batch_j, cfg, out_len=t_bucket, exact="selective")
+    codes_s, mask_s = np.asarray(codes_s), np.asarray(mask_s)
+    sel_len_ok = np.array_equal(np.asarray(total), np.asarray(total_s))
+    sel_exact = bool(sel_len_ok) and all(
+        codes_s[i][mask_s[i]].tolist() == list(ref)
+        for i, ref in enumerate(ref_codes))
+    sel_agree = (float(np.mean(codes[mask] == codes_s[mask_s]))
+                 if sel_len_ok and mask_s.sum() == mask.sum() else 0.0)
+    log(f"  selective-precision decode: lengths_ok={sel_len_ok}, "
+        f"unit_exact={sel_exact}, code agreement {sel_agree:.4f}")
+
     # informational: how close does the default-precision FAST path get?
     codes_f, mask_f, total_f = parrot.infer_codes(
         params, batch_j, cfg, out_len=t_bucket, exact=False)
@@ -215,6 +230,8 @@ def tte_decode_parity():
     RESULTS["tte_decode_unit_exact"] = {
         "samples": b, "codes": n_codes, "bucket": t_bucket,
         "flash_engaged": True, "exact_mode": True, "xla_agreement": True,
+        "selective_mode_unit_exact": sel_exact,
+        "selective_mode_code_agreement": round(sel_agree, 4),
         "fast_mode_code_agreement": round(agree, 4)}
 
 

@@ -63,7 +63,8 @@ def test_tte_decode_rebuckets_on_overflow(rng):
     params["duration_predictor"]["proj"]["b"] = jnp.asarray([np.log(30.0)])
 
     phones = rng.integers(2, cfg.vocab_size, size=8).astype(np.int32)
-    infer = jax.jit(parrot.infer_codes, static_argnames=("cfg", "out_len"))
+    infer = jax.jit(parrot.infer_codes,
+                    static_argnames=("cfg", "out_len", "exact"))
     units = decode_buckets(infer, params, cfg, [(phones, 1)],
                            [(8, 128, [0])], batch_size=4)
 

@@ -204,6 +204,30 @@ def test_folded_params_same_decode(tmp_path, rng):
                                   np.asarray(c2)[np.asarray(m2)])
 
 
+def test_selective_precision_same_decode(tmp_path, rng):
+    """exact='selective' (f32 only on encoder/duration/head) decodes
+    identically to exact=True on CPU; the bf16-pass hardware gate lives in
+    scripts/tpu_parity_check.py."""
+    cfg = small_cfg()
+    model = build_reference_parrot(tmp_path, cfg)
+    params = convert.params_from_torch(model.state_dict(), cfg)
+
+    phones, durs, speaker = make_sample(rng, cfg, s_len=10)
+    batch = {
+        "phones": jnp.asarray(phones)[None],
+        "src_mask": jnp.ones((1, len(phones)), bool),
+        "speaker": jnp.asarray([speaker]),
+    }
+    c1, m1, t1 = parrot.infer_codes(params, batch, cfg, out_len=64,
+                                    exact=True)
+    c2, m2, t2 = parrot.infer_codes(params, batch, cfg, out_len=64,
+                                    exact="selective")
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(c1)[np.asarray(m1)],
+                                  np.asarray(c2)[np.asarray(m2)])
+
+
 def test_parrot_loss_matches_reference(tmp_path, rng):
     from modules.loss import ModelLoss
 
