@@ -44,17 +44,22 @@ def create_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard the leading (batch) dim over `data`, replicate the rest."""
-    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
+def data_sharding(mesh: Mesh, ndim: int = 1,
+                  batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch dim (default leading) over `data`, replicate the
+    rest. batch_axis=1 covers stacked micro-batch pytrees (K, B, ...)
+    fed to train_step_k."""
+    dims: list = [None] * ndim
+    if ndim > batch_axis:
+        dims[batch_axis] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*dims))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
     """Device-put a host batch pytree with the batch dim sharded over `data`.
 
     Single-process: `batch` is the GLOBAL batch and is split across the
@@ -63,11 +68,15 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     process_index/process_count set) and is assembled into the global
     sharded array via make_array_from_process_local_data — device_put
     alone would treat each host's slice as the whole global batch and
-    silently drop every other host's samples."""
+    silently drop every other host's samples.
+
+    batch_axis=1 shards stacked micro-batch pytrees (K, B, ...) on B;
+    per-sample 1-D arrays of size K (none currently) would be mis-sharded,
+    so every leaf must carry the (K, B, ...) layout."""
 
     def _put(x):
         arr = np.asarray(x)
-        sharding = data_sharding(mesh, arr.ndim)
+        sharding = data_sharding(mesh, arr.ndim, batch_axis)
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sharding, arr)
         return jax.device_put(arr, sharding)

@@ -20,14 +20,17 @@ from parrot_tts_tpu.core import mesh as meshlib
 
 def device_prefetch(batch_iter: Iterator[dict], mesh=None,
                     skip_keys: tuple[str, ...] = ("ids", "filenames"),
-                    depth: int = 2) -> Iterator[dict]:
-    """Yield device-resident batches one step ahead of compute."""
+                    depth: int = 2, batch_axis: int = 0) -> Iterator[dict]:
+    """Yield device-resident batches one step ahead of compute.
+
+    batch_axis=1 for stacked micro-batch pytrees (K, B, ...) headed to
+    train_step_k: the DP shard lands on B, not on the micro-step axis."""
 
     def put(batch: dict) -> dict:
         arrays = {k: v for k, v in batch.items() if k not in skip_keys}
         host = {k: batch[k] for k in skip_keys if k in batch}
         if mesh is not None:
-            arrays = meshlib.shard_batch(mesh, arrays)
+            arrays = meshlib.shard_batch(mesh, arrays, batch_axis)
         else:
             arrays = jax.tree_util.tree_map(jax.device_put, arrays)
         return {**arrays, **host}

@@ -72,30 +72,47 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
     epoch = 0
     done = False
     last_val: dict = {}
+    acc = tcfg.grad_acc_steps
+    marks = {"log": micro_steps // (tcfg.log_every * acc),
+             "val": micro_steps // (tcfg.val_every * acc),
+             "save": micro_steps // (tcfg.save_every * acc)}
+
+    def crossed(kind: str, every: int) -> bool:
+        mark = micro_steps // (every * acc)
+        if mark > marks[kind]:
+            marks[kind] = mark
+            return True
+        return False
+
     while not done:
         made_progress = False
-        for batch in device_prefetch(loader.batches(epoch), mesh):
-            tgt_len = batch["codes"].shape[1]
-            batch.pop("ids", None)
-            state, metrics = tte_train.train_step(
+        # micro-batches are stacked host-side into (K, B, ...) groups and
+        # run through ONE compiled call each (train_step_k): the relay
+        # charges ~1.3 ms of fixed dispatch cost per call (PERF.md 4a),
+        # so K dispatches per optimizer step wastes ~20% of the step
+        stacked = _stack_microbatches(loader.batches(epoch), acc)
+        for batch in device_prefetch(stacked, mesh, batch_axis=1):
+            k_here = batch["codes"].shape[0]
+            tgt_len = batch["codes"].shape[2]
+            state, metrics = tte_train.train_step_k(
                 state, batch, rng, model_cfg, tcfg, tgt_len)
             made_progress = True
-            micro_steps += 1
-            opt_steps = micro_steps // tcfg.grad_acc_steps
+            micro_steps += k_here
+            opt_steps = micro_steps // acc
             thr.tick()
 
-            if micro_steps % (tcfg.log_every * tcfg.grad_acc_steps) == 0:
+            if crossed("log", tcfg.log_every):
                 vals = {k: float(v) for k, v in metrics.items()}
                 writer.scalars(opt_steps, **{f"train_{k}": v
                                              for k, v in vals.items()})
                 csv.log(opt_steps, **vals, **{"sec_per_batch":
                         thr.report()["seconds_per_batch"]})
                 thr.reset()
-            if micro_steps % (tcfg.val_every * tcfg.grad_acc_steps) == 0:
+            if crossed("val", tcfg.val_every):
                 last_val = evaluate(state.params, val_loader, model_cfg)
                 writer.scalars(opt_steps, **{f"val_{k}": v
                                              for k, v in last_val.items()})
-            if micro_steps % (tcfg.save_every * tcfg.grad_acc_steps) == 0:
+            if crossed("save", tcfg.save_every):
                 # step + latest val losses ride along as ckpt metadata
                 # (reference embeds them in the ckpt name, train.py:144-151)
                 mgr.save(opt_steps, jax.device_get(state),
@@ -115,6 +132,26 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
              wait=True)
     writer.close()
     return {"steps": micro_steps // tcfg.grad_acc_steps, "epochs": epoch}
+
+
+def _stack_microbatches(batches, k: int):
+    """Group same-bucket micro-batches into stacked (K, B, ...) pytrees for
+    train_step_k. Leftovers at epoch end go out as (1, B, ...) stacks
+    (bounded extra compiles: one K=1 variant per bucket pair)."""
+    pending: dict[tuple, list] = {}
+
+    def stack(group):
+        return {key: np.stack([g[key] for g in group])
+                for key in group[0] if key != "ids"}
+
+    for b in batches:
+        key = (b["phones"].shape[1], b["codes"].shape[1])
+        pending.setdefault(key, []).append(b)
+        if len(pending[key]) == k:
+            yield stack(pending.pop(key))
+    for group in pending.values():
+        for b in group:
+            yield stack([b])
 
 
 def evaluate(params, val_loader: BucketedLoader,

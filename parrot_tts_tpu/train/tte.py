@@ -86,6 +86,36 @@ def train_step(state: TTETrainState, batch: dict, rng: jax.Array,
     return TTETrainState(new_params, new_opt_state, state.step + 1), metrics
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "train_cfg", "out_len"),
+         donate_argnums=(0,))
+def train_step_k(state: TTETrainState, batches: dict, rng: jax.Array,
+                 model_cfg: TTEModelConfig, train_cfg: TTETrainConfig,
+                 out_len: int):
+    """K micro-steps in ONE compiled call: `batches` is a batch pytree with
+    a leading micro-step axis (K, B, ...), scanned inside the jit.
+
+    Math-identical to K sequential train_step calls (same MultiSteps
+    accumulation, same per-micro-step dropout folding), but pays ONE
+    dispatch instead of K — the axon relay charges ~1.3 ms of fixed cost
+    per call (PERF.md 4a), i.e. ~22% of a 6 ms micro-step."""
+
+    opt = make_optimizer(train_cfg)
+
+    def micro(carry, batch):
+        params, opt_state, step = carry
+        dropout_rng = jax.random.fold_in(rng, step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, batch, model_cfg, out_len, dropout_rng, False)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_opt, step + 1), metrics
+
+    (p, o, s), ms = jax.lax.scan(
+        micro, (state.params, state.opt_state, state.step), batches)
+    last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+    return TTETrainState(p, o, s), last
+
+
 @partial(jax.jit, static_argnames=("model_cfg", "out_len"))
 def eval_step(params, batch: dict, model_cfg: TTEModelConfig, out_len: int):
     _, metrics = loss_fn(params, batch, model_cfg, out_len, None, True)

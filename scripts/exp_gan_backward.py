@@ -81,8 +81,9 @@ def main():
         print(f"{name:<42} {ms:8.2f} ms", flush=True)
         report[name] = round(ms, 2)
 
-    # 0. full step
-    st = state
+    # 0. full step (on a COPY: train_step donates its input state and the
+    # component sections below still need this one's buffers)
+    st = jax.tree_util.tree_map(jnp.copy, state)
     def full(s):
         s2, _ = voc_train.train_step(s, batch, mcfg, tcfg, mel_cfg, 1000)
         return s2

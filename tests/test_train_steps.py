@@ -85,6 +85,41 @@ def test_tte_grad_accumulation_applies_every_k(rng):
                            np.asarray(p0))
 
 
+def test_tte_train_step_k_matches_sequential(rng):
+    """One fused train_step_k call over K stacked micro-batches must equal
+    K sequential train_step calls bit-for-bit (same MultiSteps
+    accumulation, same per-micro-step dropout folding)."""
+    cfg = tiny_tte_cfg()
+    k = 3
+    tcfg = TTETrainConfig(init_lr=1e-2, warmup_steps=1, total_steps=100,
+                          grad_acc_steps=k, grad_clip=1.0)
+    batches = [tiny_tte_batch(rng, cfg=cfg) for _ in range(2 * k)]
+    rng_key = jax.random.key(1)
+
+    seq = tte_train.init_state(jax.random.key(0), cfg, tcfg)
+    for b in batches:
+        seq, seq_m = tte_train.train_step(
+            seq, {kk: jnp.asarray(v) for kk, v in b.items()}, rng_key,
+            cfg, tcfg, 24)
+
+    fused = tte_train.init_state(jax.random.key(0), cfg, tcfg)
+    for grp in (batches[:k], batches[k:]):
+        stacked = {kk: jnp.asarray(np.stack([b[kk] for b in grp]))
+                   for kk in grp[0]}
+        fused, fused_m = tte_train.train_step_k(
+            fused, stacked, rng_key, cfg, tcfg, 24)
+
+    assert int(seq.step) == int(fused.step) == 2 * k
+    np.testing.assert_allclose(float(fused_m["total_loss"]),
+                               float(seq_m["total_loss"]), rtol=1e-6)
+    # not bit-exact: the scan body compiles with different fusion orders
+    # than the standalone step (float reassociation ~1e-5 rel)
+    for a, b in zip(jax.tree_util.tree_leaves(seq.params),
+                    jax.tree_util.tree_leaves(fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def tiny_voc_cfg():
     return VocoderModelConfig(
         resblock="1", upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
