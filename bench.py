@@ -36,8 +36,9 @@ def run_vocoder(quant: str = "none", tte_result: dict | None = None) -> dict:
 
     # reference V1 topology; bf16 serving precision (max waveform deviation
     # vs f32 measured at ~9e-4, about -40 dB — parity tests stay f32).
-    # quant="int8"/"int8-tail" additionally runs conv stacks on the int8
-    # MXU (2x bf16 peak); fidelity bounds in scripts/tpu_parity_check.py.
+    # quant="int8"/"int8-tail" additionally runs conv stacks int8: the
+    # measured marginal int8 rate is 1.7x bf16 (332 TOP/s, PERF.md 4a) and
+    # activation HBM bytes halve; fidelity bounds in tpu_parity_check.py.
     cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16",
                               quant=quant)
     sr = 16_000

@@ -102,11 +102,17 @@ def _run_inner(cfg, batch: int, src_len: int, tgt_len: int,
     state = tte_train.init_state(jax.random.key(0), cfg, tcfg)
     key = jax.random.key(1)
 
+    # production path (pipeline/train_tte.py): GRAD_ACC micro-batches
+    # stacked into one compiled train_step_k call — one relay dispatch
+    # (~1.3 ms fixed, PERF.md 4a) per optimizer step instead of 4
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (GRAD_ACC,) + x.shape), batch_d)
+
     # compile + warmup; the float() readback is the completion barrier
     # (block_until_ready returns early through the axon relay)
     for _ in range(3):
-        state, metrics = tte_train.train_step(state, batch_d, key, cfg, tcfg,
-                                              tgt_len)
+        state, metrics = tte_train.train_step_k(state, stacked, key, cfg,
+                                                tcfg, tgt_len)
         _ = float(metrics["total_loss"])
 
     # steady-state: steps chain on-device through the donated state; the
@@ -117,13 +123,13 @@ def _run_inner(cfg, batch: int, src_len: int, tgt_len: int,
     t0 = time.perf_counter()
     last = None
     for _ in range(iters):
-        state, metrics = tte_train.train_step(state, batch_d, key, cfg, tcfg,
-                                              tgt_len)
+        state, metrics = tte_train.train_step_k(state, stacked, key, cfg,
+                                                tcfg, tgt_len)
         last = metrics["total_loss"]
     _ = float(last)
     dt = time.perf_counter() - t0
 
-    steps_per_s = iters / dt
+    steps_per_s = iters * GRAD_ACC / dt
 
     def fft_block_flops(b, length, d, nf, k1):
         attn = (2 * b * length * d * 3 * d      # qkv packed projection

@@ -55,7 +55,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--disc-f32", action="store_true")
+    ap.add_argument("--sections", default="all",
+                    help="comma list from {full,gen,disc,periods,cot,mel,"
+                         "opt} (each compile is slow through the relay; "
+                         "run in chunks)")
     args = ap.parse_args()
+    sections = set(args.sections.split(","))
+
+    def on(name):
+        return "all" in sections or name in sections
 
     print(f"backend: {jax.default_backend()}", flush=True)
     mcfg = VocoderModelConfig()           # reference V1
@@ -83,19 +91,20 @@ def main():
 
     # 0. full step (on a COPY: train_step donates its input state and the
     # component sections below still need this one's buffers)
-    st = jax.tree_util.tree_map(jnp.copy, state)
-    def full(s):
-        s2, _ = voc_train.train_step(s, batch, mcfg, tcfg, mel_cfg, 1000)
-        return s2
-    for _ in range(3):
-        st = full(st)
-    _sync(st.gen_params)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        st = full(st)
-    _sync(st.gen_params)
-    rec("full train_step", (time.perf_counter() - t0) / 10 * 1e3)
-    del st
+    if on("full"):
+        st = jax.tree_util.tree_map(jnp.copy, state)
+        def full(s):
+            s2, _ = voc_train.train_step(s, batch, mcfg, tcfg, mel_cfg, 1000)
+            return s2
+        for _ in range(3):
+            st = full(st)
+        _sync(st.gen_params)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            st = full(st)
+        _sync(st.gen_params)
+        rec("full train_step", (time.perf_counter() - t0) / 10 * 1e3)
+        del st
 
     y = batch["audio"][:, :, None]
     gp, mpd_p, msd_p = state.gen_params, state.mpd_params, state.msd_params
@@ -103,84 +112,93 @@ def main():
     # 1. generator forward / backward
     gfwd = jax.jit(lambda p: gen.apply_code_generator(
         p, batch["code"], batch["spkr"], mcfg))
-    rec("G fwd", timeit(gfwd, gp))
     y_hat = gfwd(gp)
-    cot = jnp.ones_like(y_hat)
+    if on("gen"):
+        rec("G fwd", timeit(gfwd, gp))
+        cot = jnp.ones_like(y_hat)
+        gbwd = jax.jit(lambda p, c: jax.vjp(
+            lambda q: gen.apply_code_generator(
+                q, batch["code"], batch["spkr"], mcfg), p)[1](c))
+        rec("G fwd+bwd (vjp construct+apply)", timeit(gbwd, gp, cot))
 
-    gbwd = jax.jit(lambda p, c: jax.vjp(
-        lambda q: gen.apply_code_generator(
-            q, batch["code"], batch["spkr"], mcfg), p)[1](c))
-    rec("G fwd+bwd (vjp construct+apply)", timeit(gbwd, gp, cot))
+    if on("disc"):
+        # 2. discriminator forwards
+        mpd_fwd = jax.jit(lambda p: disc.apply_mpd(p, y, y_hat,
+                                                   dtype=ddt)[1])
+        rec("MPD fwd (5 periods, real+fake)", timeit(mpd_fwd, mpd_p))
+        msd_fwd = jax.jit(lambda p: disc.apply_msd(
+            p, y, y_hat, update_sn=True, dtype=ddt)[1])
+        rec("MSD fwd (3 scales, real+fake)", timeit(msd_fwd, msd_p))
 
-    # 2. discriminator forwards
-    mpd_fwd = jax.jit(lambda p: disc.apply_mpd(p, y, y_hat, dtype=ddt)[1])
-    rec("MPD fwd (5 periods, real+fake)", timeit(mpd_fwd, mpd_p))
-    msd_fwd = jax.jit(lambda p: disc.apply_msd(
-        p, y, y_hat, update_sn=True, dtype=ddt)[1])
-    rec("MSD fwd (3 scales, real+fake)", timeit(msd_fwd, msd_p))
+        # 3. discriminator grads (param-side, as in the D step)
+        def mpd_loss(p):
+            f_rs, f_gs, _, _ = disc.apply_mpd(p, y, y_hat, dtype=ddt)
+            return losses.discriminator_loss(f_rs, f_gs)[0]
+        rec("MPD grad (params)", timeit(jax.jit(jax.grad(mpd_loss)), mpd_p))
 
-    # 3. discriminator grads (param-side, as in the D step)
-    def mpd_loss(p):
-        f_rs, f_gs, _, _ = disc.apply_mpd(p, y, y_hat, dtype=ddt)
-        return losses.discriminator_loss(f_rs, f_gs)[0]
-    rec("MPD grad (params)", timeit(jax.jit(jax.grad(mpd_loss)), mpd_p))
+        def msd_loss(p):
+            s_rs, s_gs, _, _, _ = disc.apply_msd(p, y, y_hat, update_sn=True,
+                                                 dtype=ddt)
+            return losses.discriminator_loss(s_rs, s_gs)[0]
+        rec("MSD grad (params)", timeit(jax.jit(jax.grad(msd_loss)), msd_p))
 
-    def msd_loss(p):
-        s_rs, s_gs, _, _, _ = disc.apply_msd(p, y, y_hat, update_sn=True,
-                                             dtype=ddt)
-        return losses.discriminator_loss(s_rs, s_gs)[0]
-    rec("MSD grad (params)", timeit(jax.jit(jax.grad(msd_loss)), msd_p))
+    if on("periods"):
+        # 4. per-period MPD fwd+grad (the C=1->32 lane-starvation suspect)
+        for idx, period in enumerate(disc.MPD_PERIODS):
+            pp = mpd_p["discriminators"][idx]
 
-    # 4. per-period MPD fwd+grad (the C=1->32 lane-starvation suspect)
-    for idx, period in enumerate(disc.MPD_PERIODS):
-        pp = mpd_p["discriminators"][idx]
+            def one_p(p):
+                s_r, _ = disc.apply_discriminator_p(p, y, period, dtype=ddt)
+                s_g, _ = disc.apply_discriminator_p(p, y_hat, period,
+                                                    dtype=ddt)
+                return (jnp.mean((1.0 - s_r) ** 2) + jnp.mean(s_g ** 2))
+            rec(f"  MPD period {period} fwd+grad",
+                timeit(jax.jit(jax.grad(one_p)), pp))
 
-        def one_p(p):
-            s_r, _ = disc.apply_discriminator_p(p, y, period, dtype=ddt)
-            s_g, _ = disc.apply_discriminator_p(p, y_hat, period, dtype=ddt)
-            return (jnp.mean((1.0 - s_r) ** 2) + jnp.mean(s_g ** 2))
-        rec(f"  MPD period {period} fwd+grad",
-            timeit(jax.jit(jax.grad(one_p)), pp))
+    if on("cot"):
+        # 5. G-side cotangent: grad wrt y_hat of the full G loss
+        mel_real = voc_train._mel(batch["audio"], mel_cfg)
 
-    # 5. G-side cotangent: grad wrt y_hat of the full G loss
-    mel_real = voc_train._mel(batch["audio"], mel_cfg)
+        def g_loss(yh):
+            mel_hat = voc_train._mel(yh[:, :, 0], mel_cfg)
+            loss_mel = losses.mel_l1_loss(mel_real, mel_hat)
+            f_rs, f_gs, fr, fg = disc.apply_mpd(mpd_p, y, yh, dtype=ddt)
+            s_rs, s_gs, sr, sg, _ = disc.apply_msd(msd_p, y, yh,
+                                                   update_sn=True, dtype=ddt)
+            fm = (losses.feature_loss(
+                [list(map(jax.lax.stop_gradient, f)) for f in fr], fg)
+                + losses.feature_loss(
+                [list(map(jax.lax.stop_gradient, f)) for f in sr], sg))
+            adv = (losses.generator_loss(f_gs)[0]
+                   + losses.generator_loss(s_gs)[0])
+            return loss_mel + fm + adv
+        rec("G-side cotangent (grad wrt y_hat)",
+            timeit(jax.jit(jax.grad(g_loss)), y_hat))
 
-    def g_loss(yh):
-        mel_hat = voc_train._mel(yh[:, :, 0], mel_cfg)
-        loss_mel = losses.mel_l1_loss(mel_real, mel_hat)
-        f_rs, f_gs, fr, fg = disc.apply_mpd(mpd_p, y, yh, dtype=ddt)
-        s_rs, s_gs, sr, sg, _ = disc.apply_msd(msd_p, y, yh, update_sn=True,
-                                               dtype=ddt)
-        fm = (losses.feature_loss(
-            [list(map(jax.lax.stop_gradient, f)) for f in fr], fg)
-            + losses.feature_loss(
-            [list(map(jax.lax.stop_gradient, f)) for f in sr], sg))
-        adv = losses.generator_loss(f_gs)[0] + losses.generator_loss(s_gs)[0]
-        return loss_mel + fm + adv
-    rec("G-side cotangent (grad wrt y_hat)",
-        timeit(jax.jit(jax.grad(g_loss)), y_hat))
+    if on("mel"):
+        # 6. loss-mel STFT fwd / grad
+        rec("loss-mel fwd", timeit(jax.jit(
+            lambda a: voc_train._mel(a, mel_cfg)), batch["audio"]))
+        rec("loss-mel grad", timeit(jax.jit(jax.grad(
+            lambda a: jnp.sum(voc_train._mel(a, mel_cfg)))),
+            batch["audio"]))
 
-    # 6. loss-mel STFT fwd / grad
-    rec("loss-mel fwd", timeit(jax.jit(
-        lambda a: voc_train._mel(a, mel_cfg)), batch["audio"]))
-    rec("loss-mel grad", timeit(jax.jit(jax.grad(
-        lambda a: jnp.sum(voc_train._mel(a, mel_cfg)))), batch["audio"]))
+    if on("opt"):
+        # 7. optimizer updates alone (on real-shaped grads)
+        opt_g, opt_d = voc_train.make_optimizers(tcfg, 1000)
+        g_grads = jax.tree_util.tree_map(jnp.ones_like, gp)
+        d_grads = jax.tree_util.tree_map(jnp.ones_like, (mpd_p, msd_p))
 
-    # 7. optimizer updates alone (on real-shaped grads)
-    opt_g, opt_d = voc_train.make_optimizers(tcfg, 1000)
-    g_grads = jax.tree_util.tree_map(jnp.ones_like, gp)
-    d_grads = jax.tree_util.tree_map(jnp.ones_like, (mpd_p, msd_p))
-
-    @jax.jit
-    def opt_both(gg, dg, og, od):
-        import optax
-        gu, og2 = opt_g.update(gg, og, gp)
-        du, od2 = opt_d.update(dg, od, (mpd_p, msd_p))
-        return (optax.apply_updates(gp, gu),
-                optax.apply_updates((mpd_p, msd_p), du))
-    rec("optimizer updates (G + D)",
-        timeit(opt_both, g_grads, d_grads, state.opt_g_state,
-               state.opt_d_state))
+        @jax.jit
+        def opt_both(gg, dg, og, od):
+            import optax
+            gu, og2 = opt_g.update(gg, og, gp)
+            du, od2 = opt_d.update(dg, od, (mpd_p, msd_p))
+            return (optax.apply_updates(gp, gu),
+                    optax.apply_updates((mpd_p, msd_p), du))
+        rec("optimizer updates (G + D)",
+            timeit(opt_both, g_grads, d_grads, state.opt_g_state,
+                   state.opt_d_state))
 
     print(json.dumps(report))
 
