@@ -116,14 +116,29 @@ def init_mpd(key) -> dict:
 
 
 def apply_mpd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray,
-              precision=None, dtype=None):
+              precision=None, dtype=None, stacked: bool = False):
     """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs) like the reference
     MultiPeriodDiscriminator (models.py:206-225). dtype=bfloat16 runs the
-    disc stack in bf16 compute (params stay f32) — a TPU training lever."""
+    disc stack in bf16 compute (params stay f32) — a TPU training lever.
+
+    stacked=True runs real+fake as ONE batch-2B pass per period — exactly
+    equivalent here (weight-norm only, no state; convs are per-sample) and
+    measured ~10% faster on the MSD analog (scripts/exp_msd_bisect.py);
+    the training step uses it, parity tests keep the sequential default."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    b = y.shape[0]
     for p, period in zip(params["discriminators"], MPD_PERIODS):
-        s_r, f_r = apply_discriminator_p(p, y, period, precision, dtype)
-        s_g, f_g = apply_discriminator_p(p, y_hat, period, precision, dtype)
+        if stacked:
+            s, f = apply_discriminator_p(
+                p, jnp.concatenate([y, y_hat], axis=0), period, precision,
+                dtype)
+            s_r, s_g = s[:b], s[b:]
+            f_r = [t[:b] for t in f]
+            f_g = [t[b:] for t in f]
+        else:
+            s_r, f_r = apply_discriminator_p(p, y, period, precision, dtype)
+            s_g, f_g = apply_discriminator_p(p, y_hat, period, precision,
+                                             dtype)
         y_d_rs.append(s_r)
         y_d_gs.append(s_g)
         fmap_rs.append(f_r)
@@ -184,26 +199,59 @@ def init_msd(key) -> dict:
     ]}
 
 
+def _sn_advance(p: dict) -> dict:
+    """Advance spectral-norm power iteration on every SN conv of one
+    discriminator without computing its forward."""
+    new_convs = []
+    for conv in p["convs"]:
+        if "u" in conv:
+            _, conv = sn_resolve(conv, update=True)
+        new_convs.append(conv)
+    post = p["conv_post"]
+    if "u" in post:
+        _, post = sn_resolve(post, update=True)
+    return {"convs": new_convs, "conv_post": post}
+
+
 def apply_msd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray, *,
-              update_sn: bool = False, precision=None, dtype=None):
+              update_sn: bool = False, precision=None, dtype=None,
+              stacked: bool = False):
     """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs, new_params). The x2/x4
     scales see AvgPool1d(4, 2, padding=2) pyramids (reference models.py:258).
 
     Note: torch runs one power iteration per inner-discriminator forward;
     the reference's MSD forward calls d(y) then d(y_hat) (models.py:264-266),
     i.e. u advances twice per MSD call in train mode — matched here.
-    """
+
+    stacked=True runs real+fake as ONE batch-2B pass per scale (~10%
+    faster, scripts/exp_msd_bisect.py). Exactly equivalent on the
+    weight-norm scales; on the SN scale 0 the u-advance COUNT is
+    preserved (two per call) but both halves resolve with the first
+    iterate's sigma, where the reference's sequential fake pass sees the
+    second — a one-power-iteration difference in a converging estimator,
+    used by the trainer only (parity tests keep the sequential default)."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     new_discs = []
+    b = y.shape[0]
     for i, p in enumerate(params["discriminators"]):
         if i != 0:
             y = conv_ops.avg_pool1d(y, 4, 2, 2)
             y_hat = conv_ops.avg_pool1d(y_hat, 4, 2, 2)
-        s_r, f_r, new_p = apply_discriminator_s(
-            p, y, update_sn=update_sn, precision=precision, dtype=dtype)
-        s_g, f_g, new_p = apply_discriminator_s(
-            new_p, y_hat, update_sn=update_sn, precision=precision,
-            dtype=dtype)
+        if stacked:
+            s, f, new_p = apply_discriminator_s(
+                p, jnp.concatenate([y, y_hat], axis=0),
+                update_sn=update_sn, precision=precision, dtype=dtype)
+            if update_sn:
+                new_p = _sn_advance(new_p)  # keep the 2-advance-per-call count
+            s_r, s_g = s[:b], s[b:]
+            f_r = [t[:b] for t in f]
+            f_g = [t[b:] for t in f]
+        else:
+            s_r, f_r, new_p = apply_discriminator_s(
+                p, y, update_sn=update_sn, precision=precision, dtype=dtype)
+            s_g, f_g, new_p = apply_discriminator_s(
+                new_p, y_hat, update_sn=update_sn, precision=precision,
+                dtype=dtype)
         new_discs.append(new_p)
         y_d_rs.append(s_r)
         y_d_gs.append(s_g)

@@ -94,7 +94,8 @@ def main():
     batch = make_batch(cfg, rng)
     key = jax.random.key(1)
     state = tte_train.init_state(jax.random.key(0), cfg, tcfg)
-    params = state.params
+    # COPY: the full-step chain below donates state's buffers
+    params = jax.tree_util.tree_map(jnp.copy, state.params)
 
     report: dict = {}
 

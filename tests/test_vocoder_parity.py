@@ -162,3 +162,44 @@ def test_generator_loss_matches_reference(rng):
     ours, _ = losses.generator_loss([jnp.asarray(s) for s in scores])
     ref, _ = ref_gloss([torch.from_numpy(s) for s in scores])
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_stacked_discriminators_match_sequential(rng):
+    """stacked=True (one batch-2B pass per discriminator, the trainer's
+    configuration) equals the sequential path exactly for the MPD and the
+    MSD's weight-norm scales; the SN scale agrees within the documented
+    one-power-iteration sigma difference."""
+    import jax
+
+    from parrot_tts_tpu.models.vocoder import discriminator as disc
+
+    b, t = 2, 512
+    y = jnp.asarray(rng.standard_normal((b, t, 1)) * 0.3, jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((b, t, 1)) * 0.3, jnp.float32)
+
+    mpd_p = disc.init_mpd(jax.random.key(0))
+    seq = disc.apply_mpd(mpd_p, y, y_hat)
+    stk = disc.apply_mpd(mpd_p, y, y_hat, stacked=True)
+    for a, c in zip(seq[0] + seq[1], stk[0] + stk[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
+
+    msd_p = disc.init_msd(jax.random.key(1))
+    seq = disc.apply_msd(msd_p, y, y_hat, update_sn=True)
+    stk = disc.apply_msd(msd_p, y, y_hat, update_sn=True, stacked=True)
+    # weight-norm scales (1, 2) are exactly equivalent
+    for i in (1, 2):
+        np.testing.assert_allclose(np.asarray(seq[0][i]),
+                                   np.asarray(stk[0][i]), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(seq[1][i]),
+                                   np.asarray(stk[1][i]), rtol=1e-5,
+                                   atol=1e-6)
+    # SN scale 0: close (one-power-iteration sigma difference), and the
+    # u-advance count is preserved (both paths end at the same u)
+    np.testing.assert_allclose(np.asarray(seq[0][0]), np.asarray(stk[0][0]),
+                               rtol=0.05, atol=0.05)
+    u_seq = seq[4]["discriminators"][0]["convs"][0]["u"]
+    u_stk = stk[4]["discriminators"][0]["convs"][0]["u"]
+    np.testing.assert_allclose(np.asarray(u_seq), np.asarray(u_stk),
+                               rtol=1e-4, atol=1e-5)
