@@ -56,7 +56,11 @@ def add_pos_emb(
 ) -> jnp.ndarray:
     """Positional add. compat: per-sample `x + pe[length_b]` row broadcast
     (reference fft.py:17-19, where x.size(1) is that batch's max length —
-    batch-1 inference makes it the sample's own length). clean: x + pe[:T]."""
+    batch-1 inference makes it the sample's own length). clean: x + pe[:T].
+
+    The PE table is built f32; follow x's dtype so bf16-compute passes
+    don't silently promote every downstream op back to f32."""
+    pe = pe.astype(x.dtype)
     if reference_compat:
         if lengths is None:
             row = pe[x.shape[1]]

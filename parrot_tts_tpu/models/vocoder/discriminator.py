@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from parrot_tts_tpu.ops import conv as conv_ops
+from parrot_tts_tpu.ops import folded as folded_ops
 from parrot_tts_tpu.ops import init as init_ops
 from parrot_tts_tpu.ops.weight_norm import (
     WN_AXES_CONV1D,
@@ -163,21 +164,38 @@ def init_discriminator_s(key, use_spectral_norm: bool = False) -> dict:
     return {"convs": convs, "conv_post": conv_post}
 
 
+# time-fold factor per MSD layer for the folded training path: chosen so
+# the per-group contraction f*(ci/g) is 128 full lanes. Only the big-T
+# early layers win (scripts/exp_msd_folded.py: 2.1-3.2x faster dW at
+# L1-L3; L4's T is too small — folded measured 0.67x there).
+_MSD_FOLD_F = {0: 128, 1: 4, 2: 16, 3: 8}
+
+
 def apply_discriminator_s(p: dict, x: jnp.ndarray, *, update_sn: bool,
-                          precision=None, dtype=None):
+                          precision=None, dtype=None, folded: bool = False):
     """x: (B, T, 1). Returns (score, fmaps, new_params). Spectral-norm power
-    iteration always runs in f32 (the kernel is cast after _resolve)."""
+    iteration always runs in f32 (the kernel is cast after _resolve).
+
+    folded=True computes the big-T grouped convs in the time-folded layout
+    (ops/folded.py::folded_grouped_conv1d) — numerically exact, used by
+    the trainer for the backward-dominated step."""
     fmap = []
     new_convs = []
     if dtype is not None:
         x = x.astype(dtype)
-    for conv, (ci, co, k, s, g, pad) in zip(p["convs"], _MSD_LAYERS):
+    for li, (conv, (ci, co, k, s, g, pad)) in enumerate(
+            zip(p["convs"], _MSD_LAYERS)):
         w, new_conv = _resolve(conv, WN_AXES_CONV1D, update_sn)
         new_convs.append(new_conv)
         if dtype is not None:
             w = w.astype(dtype)
-        x = conv_ops.conv1d(x, w, conv["b"].astype(x.dtype), stride=s,
-                            padding=pad, groups=g, precision=precision)
+        if folded and li in _MSD_FOLD_F:
+            x = folded_ops.folded_grouped_conv1d(
+                x, w, conv["b"].astype(x.dtype), stride=s, padding=pad,
+                groups=g, f=_MSD_FOLD_F[li], precision=precision)
+        else:
+            x = conv_ops.conv1d(x, w, conv["b"].astype(x.dtype), stride=s,
+                                padding=pad, groups=g, precision=precision)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
     w, new_post = _resolve(p["conv_post"], WN_AXES_CONV1D, update_sn)
@@ -215,7 +233,7 @@ def _sn_advance(p: dict) -> dict:
 
 def apply_msd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray, *,
               update_sn: bool = False, precision=None, dtype=None,
-              stacked: bool = False):
+              stacked: bool = False, folded: bool = False):
     """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs, new_params). The x2/x4
     scales see AvgPool1d(4, 2, padding=2) pyramids (reference models.py:258).
 
@@ -240,7 +258,8 @@ def apply_msd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray, *,
         if stacked:
             s, f, new_p = apply_discriminator_s(
                 p, jnp.concatenate([y, y_hat], axis=0),
-                update_sn=update_sn, precision=precision, dtype=dtype)
+                update_sn=update_sn, precision=precision, dtype=dtype,
+                folded=folded)
             if update_sn:
                 new_p = _sn_advance(new_p)  # keep the 2-advance-per-call count
             s_r, s_g = s[:b], s[b:]
@@ -248,10 +267,11 @@ def apply_msd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray, *,
             f_g = [t[b:] for t in f]
         else:
             s_r, f_r, new_p = apply_discriminator_s(
-                p, y, update_sn=update_sn, precision=precision, dtype=dtype)
+                p, y, update_sn=update_sn, precision=precision, dtype=dtype,
+                folded=folded)
             s_g, f_g, new_p = apply_discriminator_s(
                 new_p, y_hat, update_sn=update_sn, precision=precision,
-                dtype=dtype)
+                dtype=dtype, folded=folded)
         new_discs.append(new_p)
         y_d_rs.append(s_r)
         y_d_gs.append(s_g)

@@ -121,6 +121,90 @@ def folded_conv1d(xf: jnp.ndarray, w: jnp.ndarray,
     return y
 
 
+def _fold_plan_strided(k: int, stride: int, pad_left: int, f: int):
+    """Scatter plan for a STRIDED conv folded by f (output folds by
+    f_out = f/stride): S[q, r, p, j] = 1 iff tap j of output phase p reads
+    folded block offset q+qmin at intra-block position r
+    (o = stride*p + j - pad_left)."""
+    assert f % stride == 0, (f, stride)
+    f_out = f // stride
+    p = np.arange(f_out)[:, None]
+    j = np.arange(k)[None, :]
+    o = stride * p + j - pad_left
+    q = o // f
+    r = o - f * q
+    qmin, qmax = int(q.min()), int(q.max())
+    kb = qmax - qmin + 1
+    s = np.zeros((kb, f, f_out, k), np.float32)
+    pp, jj = np.broadcast_arrays(p, j)
+    s[(q - qmin).ravel(), r.ravel(), pp.ravel(), jj.ravel()] = 1.0
+    return kb, qmin, s
+
+
+def folded_grouped_conv1d(x: jnp.ndarray, w: jnp.ndarray,
+                          b: jnp.ndarray | None = None, *, stride: int,
+                          padding: int, groups: int, f: int,
+                          precision=None) -> jnp.ndarray:
+    """Strided GROUPED conv computed in a time-folded layout.
+
+    The MSD's k=41 convs contract only ci/groups (8..64) of the MXU's 128
+    lanes; its backward measured ~10 TF/s (scripts/exp_msd_bisect.py).
+    Folding time by f makes the per-group contraction f*(ci/g) (pick f so
+    that's 128) and the per-group output f_out*(co/g), at a
+    Kb*f_out*stride/k ~= 1.1-2x FLOP inflation — measured 2.1-3.2x faster
+    dW at the MSD shapes (scripts/exp_msd_folded.py).
+
+    x: (B, T, Ci) canonical channels-last (T % f == 0); w: (K, Ci/g, Co)
+    with out channels group-major (the grouped-conv kernel layout);
+    returns canonical (B, T//stride, Co). Exact vs the grouped conv
+    (rel ~1e-7, tests/test_conv.py).
+    """
+    bsz, t, ci = x.shape
+    k, cig, co = w.shape
+    g = groups
+    cog = co // g
+    assert ci == cig * g, (x.shape, w.shape, g)
+    f_out = f // stride
+    t_out = (t + 2 * padding - k) // stride + 1
+    # the fold computes ceil(t/stride) rows then slices; it is a pure
+    # output relayout only when t_out <= ceil(t/stride)
+    assert t_out <= -(-t // stride), (t, k, stride, padding)
+
+    # ragged T: right-pad with zeros to a multiple of f — identical
+    # semantics to the conv's own zero padding for the first t_out rows
+    t_pad = -(-t // f) * f
+    if t_pad != t:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    kb, qmin, s = _fold_plan_strided(k, stride, padding, f)
+    pl_, pr_ = -qmin, qmin + kb - 1
+
+    # group-major fold: (B,T,C) -> (B,T/f,f,g,cig) -> (B,T/f,g,f,cig)
+    xf = x.reshape(bsz, t_pad // f, f, g, cig)
+    xf = jnp.transpose(xf, (0, 1, 3, 2, 4)).reshape(bsz, t_pad // f,
+                                                    g * f * cig)
+
+    # block kernel: Wb[q, (r,i), (gi,p,o)] = sum_j S[q,r,p,j] w[j,i,gi,o]
+    w4 = w.reshape(k, cig, g, cog)
+    wb = jnp.einsum("qrpj,jigo->qrigpo", jnp.asarray(s, w.dtype), w4,
+                    precision=jax.lax.Precision.HIGHEST)
+    wb = wb.reshape(kb, f * cig, g * f_out * cog)
+
+    yf = jax.lax.conv_general_dilated(
+        xf, wb, window_strides=(1,), padding=((pl_, pr_),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=g, precision=precision)
+
+    # back to canonical: (B,Tb,(g,p,o)) -> (B,Tb,p,g,o) -> (B,T',Co)
+    tb = yf.shape[1]
+    y5 = yf.reshape(bsz, tb, g, f_out, cog)
+    y = jnp.transpose(y5, (0, 1, 3, 2, 4)).reshape(bsz, tb * f_out, co)
+    y = y[:, :t_out]
+    if b is not None:
+        y = y + b
+    return y
+
+
 def folded_conv_transpose1d(xf: jnp.ndarray, w: jnp.ndarray,
                             b: jnp.ndarray | None = None, *, g_in: int,
                             stride: int, padding: int,

@@ -37,14 +37,18 @@ class TTETrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(cfg: TTETrainConfig) -> optax.GradientTransformation:
+def make_inner_optimizer(cfg: TTETrainConfig) -> optax.GradientTransformation:
     schedule = cosine_warmup_schedule(
         cfg.init_lr, cfg.warmup_steps, cfg.total_steps)
-    opt = optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
                     weight_decay=cfg.weight_decay),
     )
+
+
+def make_optimizer(cfg: TTETrainConfig) -> optax.GradientTransformation:
+    opt = make_inner_optimizer(cfg)
     if cfg.grad_acc_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_acc_steps)
     return opt
@@ -95,13 +99,19 @@ def train_step_k(state: TTETrainState, batches: dict, rng: jax.Array,
     a leading micro-step axis (K, B, ...), scanned inside the jit.
 
     Math-identical to K sequential train_step calls (same MultiSteps
-    accumulation, same per-micro-step dropout folding), but pays ONE
-    dispatch instead of K — the axon relay charges ~1.3 ms of fixed cost
-    per call (PERF.md 4a), i.e. ~22% of a 6 ms micro-step."""
+    running-mean accumulation, same per-micro-step dropout folding), but
+    pays ONE dispatch instead of K — the axon relay charges ~1.3 ms of
+    fixed cost per call (PERF.md 4a) — and, when the call carries a full
+    grad_acc_steps group at mini_step 0, runs the inner optimizer ONCE
+    instead of K times: optax.MultiSteps executes the whole clip+adamw
+    chain on EVERY micro-step and where-selects the result (inspect
+    optax.MultiSteps.update), which the roofline measured at ~2 ms of the
+    6.9 ms micro-step (scripts/exp_tte_roofline.py)."""
 
     opt = make_optimizer(train_cfg)
+    k_here = jax.tree_util.tree_leaves(batches)[0].shape[0]
 
-    def micro(carry, batch):
+    def micro_generic(carry, batch):
         params, opt_state, step = carry
         dropout_rng = jax.random.fold_in(rng, step)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
@@ -110,9 +120,52 @@ def train_step_k(state: TTETrainState, batches: dict, rng: jax.Array,
         params = optax.apply_updates(params, updates)
         return (params, new_opt, step + 1), metrics
 
-    (p, o, s), ms = jax.lax.scan(
-        micro, (state.params, state.opt_state, state.step), batches)
-    last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+    def generic(operand):
+        params, opt_state, step = operand
+        (p, o, s), ms = jax.lax.scan(micro_generic, (params, opt_state, step),
+                                     batches)
+        return p, o, s, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    if not (train_cfg.grad_acc_steps > 1
+            and k_here == train_cfg.grad_acc_steps):
+        p, o, s, last = generic((state.params, state.opt_state, state.step))
+        return TTETrainState(p, o, s), last
+
+    def fast(operand):
+        params, opt_state, step0 = operand
+
+        def micro(carry, batch):
+            acc, step = carry
+            dropout_rng = jax.random.fold_in(rng, step)
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                params, batch, model_cfg, out_len, dropout_rng, False)
+            n = (step - step0).astype(jnp.float32)
+            # MultiSteps' exact running mean: acc + (g - acc) / (n + 1)
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a + (g - a) / (n + 1.0), acc, grads)
+            return (acc, step + 1), metrics
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (acc, s), ms = jax.lax.scan(micro, (zeros, step0), batches)
+        inner = make_inner_optimizer(train_cfg)
+        updates, new_inner = inner.update(acc, opt_state.inner_opt_state,
+                                          params)
+        p = optax.apply_updates(params, updates)
+        new_opt = optax.MultiStepsState(
+            mini_step=jnp.zeros_like(opt_state.mini_step),
+            gradient_step=opt_state.gradient_step + 1,
+            inner_opt_state=new_inner,
+            acc_grads=jax.tree_util.tree_map(jnp.zeros_like,
+                                             opt_state.acc_grads),
+            skip_state=opt_state.skip_state)
+        return p, new_opt, s, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    # the fast path assumes a fresh accumulation cycle; K=1 leftover
+    # groups (pipeline/train_tte.py::_stack_microbatches) can leave
+    # mini_step mid-cycle, so branch on it at runtime
+    p, o, s, last = jax.lax.cond(
+        state.opt_state.mini_step == 0, fast, generic,
+        (state.params, state.opt_state, state.step))
     return TTETrainState(p, o, s), last
 
 

@@ -123,7 +123,8 @@ def train_step(state: VocoderTrainState, batch: dict,
                                           stacked=True)
         loss_f, _, _ = losses.discriminator_loss(f_rs, f_gs)
         s_rs, s_gs, _, _, new_msd = disc.apply_msd(
-            msd_p, y, y_hat_sg, update_sn=True, dtype=ddt, stacked=True)
+            msd_p, y, y_hat_sg, update_sn=True, dtype=ddt, stacked=True,
+            folded=True)
         loss_s, _, _ = losses.discriminator_loss(s_rs, s_gs)
         return loss_f + loss_s, new_msd
 
@@ -146,7 +147,8 @@ def train_step(state: VocoderTrainState, batch: dict,
         f_rs, f_gs, fmap_f_r, fmap_f_g = disc.apply_mpd(
             new_mpd, y, y_hat, dtype=ddt, stacked=True)
         s_rs, s_gs, fmap_s_r, fmap_s_g, msd_after_g = disc.apply_msd(
-            new_msd, y, y_hat, update_sn=True, dtype=ddt, stacked=True)
+            new_msd, y, y_hat, update_sn=True, dtype=ddt, stacked=True,
+            folded=True)
         loss_fm_f = losses.feature_loss(
             [list(map(jax.lax.stop_gradient, f)) for f in fmap_f_r], fmap_f_g)
         loss_fm_s = losses.feature_loss(

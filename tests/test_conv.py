@@ -267,3 +267,50 @@ def test_generator_folded_tail_matches_unfolded(rng):
     y_off = gen.apply_code_generator(params, code, spkr, cfg_off)
     assert y_on.shape == y_off.shape == (2, 6 * 320, 1)
     np.testing.assert_allclose(_np(y_on), _np(y_off), atol=2e-5, rtol=1e-4)
+
+
+def test_folded_grouped_conv_matches_grouped(rng):
+    """ops/folded.py::folded_grouped_conv1d == grouped conv1d at the MSD
+    layer configurations, including ragged (odd) T."""
+    from parrot_tts_tpu.ops import folded as folded_ops
+
+    cases = [
+        # (ci, co, k, s, g, pad, f, t)
+        (1, 16, 15, 1, 1, 7, 128, 1280),
+        (16, 16, 41, 2, 4, 20, 8, 1024),
+        (16, 32, 41, 2, 8, 20, 16, 1001),   # ragged T
+        (32, 64, 41, 4, 8, 20, 8, 560),
+    ]
+    for ci, co, k, s, g, pad, f, t in cases:
+        x = jnp.asarray(rng.standard_normal((2, t, ci)) * 0.3, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, ci // g, co)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        want = np.asarray(convlib.conv1d(x, w, b, stride=s, padding=pad,
+                                         groups=g))
+        got = np.asarray(folded_ops.folded_grouped_conv1d(
+            x, w, b, stride=s, padding=pad, groups=g, f=f))
+        assert got.shape == want.shape, (got.shape, want.shape,
+                                         (ci, co, k, s, g))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_msd_folded_matches_unfolded(rng):
+    """The trainer's folded MSD path equals the parity (unfolded) path."""
+    import jax
+
+    from parrot_tts_tpu.models.vocoder import discriminator as disc
+
+    y = jnp.asarray(rng.standard_normal((2, 1280, 1)) * 0.3, jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 1280, 1)) * 0.3, jnp.float32)
+    p = disc.init_msd(jax.random.key(0))
+    a = disc.apply_msd(p, y, y_hat, update_sn=True, stacked=True)
+    b = disc.apply_msd(p, y, y_hat, update_sn=True, stacked=True,
+                       folded=True)
+    for sa, sb in zip(a[0] + a[1], b[0] + b[1]):
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   rtol=2e-4, atol=2e-4)
+    for fa, fb in zip(a[2] + a[3], b[2] + b[3]):
+        for ta, tb_ in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(ta), np.asarray(tb_),
+                                       rtol=2e-4, atol=2e-4)
