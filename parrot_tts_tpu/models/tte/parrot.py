@@ -194,13 +194,17 @@ def apply_parrot(
     passes through `round(exp(p)-1)`, where a bf16-pass near-tie flips a
     LENGTH and derails the whole decode) and the 1000-way head (argmax
     near-ties) — while the decoder FFT stack, the dominant cost at
-    T up to 3584, runs default-precision. Exactness is gated on hardware
-    by scripts/tpu_parity_check.py (VERDICT r3 #3).
+    T up to 3584, runs cheaper. Values: False; True (decoder at default
+    1-pass-bf16 precision — measured on-chip: lengths exact, 99.95% code
+    agreement, NOT unit-exact); "high" (decoder at 3-pass bf16).
+    Exactness gated on hardware by scripts/tpu_parity_check.py.
 
     Returns (logits (B,out_len,n_codes), tgt_mask True=valid, log_dur_pred).
     """
     enc_ctx = (jax.default_matmul_precision("highest") if selective_exact
                else contextlib.nullcontext())
+    dec_ctx = (jax.default_matmul_precision("high")
+               if selective_exact == "high" else contextlib.nullcontext())
     pe = pos_table(cfg)
     src_mask = batch["src_mask"]
     src_pad = ~src_mask
@@ -254,8 +258,9 @@ def apply_parrot(
 
     dec_rng = (jax.random.fold_in(dropout_rng, 300)
                if dropout_rng is not None else None)
-    x = _run_stack(params["decoder_layers"], x, cfg, cfg.decoder, ~valid_t,
-                   dec_rng, deterministic, precision)
+    with dec_ctx:
+        x = _run_stack(params["decoder_layers"], x, cfg, cfg.decoder,
+                       ~valid_t, dec_rng, deterministic, precision)
 
     with enc_ctx:  # head argmax near-ties need f32 under selective_exact
         logits = jnp.einsum("btd,dc->btc", x, params["head"]["w"],
@@ -291,10 +296,11 @@ def infer_codes(
     stack at default precision — gated unit-exact on hardware by
     scripts/tpu_parity_check.py. exact=False is the all-default fast path
     for throughput-only use (measured NOT unit-exact)."""
-    if exact == "selective":
+    if exact in ("selective", "selective-high"):
         logits, tgt_mask, log_dur = apply_parrot(
             params, batch, cfg, out_len=out_len, inference=True,
-            deterministic=True, precision=precision, selective_exact=True)
+            deterministic=True, precision=precision,
+            selective_exact="high" if exact == "selective-high" else True)
         with jax.default_matmul_precision("highest"):
             durations = jnp.where(batch["src_mask"],
                                   lr_ops.durations_from_log_pred(log_dur), 0)

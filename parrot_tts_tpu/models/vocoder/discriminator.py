@@ -79,9 +79,22 @@ def init_discriminator_p(key, kernel_size: int = 5) -> dict:
     return {"convs": convs, "conv_post": conv_post}
 
 
+# time-fold factor for the MPD's 1D-equivalent early layers (folded=True):
+# contraction widened to ~128+ lanes; multiples of the stride 3
+_MPD_FOLD_F = {0: 126, 1: 12}
+
+
 def apply_discriminator_p(p: dict, x: jnp.ndarray, period: int,
-                          precision=None, dtype=None):
-    """x: (B, T, 1). Returns (score (B, n), fmaps list)."""
+                          precision=None, dtype=None, folded: bool = False):
+    """x: (B, T, 1). Returns (score (B, n), fmaps list).
+
+    folded=True (trainer only): the (5,1) kernels never mix the period
+    axis, so each period discriminator is a 1D conv chain over H=T/p with
+    p independent columns — move p into the batch ((B, H, p, C) ->
+    (B*p, H, C)) and run the starved early layers (C=1->32 at large H)
+    through the time-folded lowering. Score/fmap VALUES are identical up
+    to element order (both losses are element-order-invariant means; the
+    parity tests keep the NHWC path)."""
     b, t, c = x.shape
     if dtype is not None:
         x = x.astype(dtype)
@@ -89,9 +102,38 @@ def apply_discriminator_p(p: dict, x: jnp.ndarray, period: int,
         n_pad = period - (t % period)
         x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
         t = t + n_pad
-    x = x.reshape(b, t // period, period, c)        # NHWC
 
     fmap = []
+    if folded:
+        h = t // period
+        x = x.reshape(b, h, period, c)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * period, h, c)
+        strides1 = [3] * 4 + [1]
+        for li, (conv, s) in enumerate(zip(p["convs"], strides1)):
+            w = wn_resolve(conv, WN_AXES_CONV2D) if "v" in conv else conv["w"]
+            if dtype is not None:
+                w = w.astype(dtype)
+            w1 = w[:, 0]                      # (k, 1, ci, co) -> (k, ci, co)
+            if li in _MPD_FOLD_F:
+                x = folded_ops.folded_grouped_conv1d(
+                    x, w1, conv["b"].astype(x.dtype), stride=s, padding=2,
+                    groups=1, f=_MPD_FOLD_F[li], precision=precision)
+            else:
+                x = conv_ops.conv1d(x, w1, conv["b"].astype(x.dtype),
+                                    stride=s, padding=2,
+                                    precision=precision)
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x.reshape(b, period, x.shape[1], x.shape[2]))
+        cp = p["conv_post"]
+        w = wn_resolve(cp, WN_AXES_CONV2D) if "v" in cp else cp["w"]
+        if dtype is not None:
+            w = w.astype(dtype)
+        x = conv_ops.conv1d(x, w[:, 0], cp["b"].astype(x.dtype), stride=1,
+                            padding=1, precision=precision)
+        fmap.append(x.reshape(b, period, x.shape[1], x.shape[2]))
+        return x.reshape(b, -1), fmap
+
+    x = x.reshape(b, t // period, period, c)        # NHWC
     strides = [(3, 1)] * 4 + [(1, 1)]
     for conv, stride in zip(p["convs"], strides):
         w = wn_resolve(conv, WN_AXES_CONV2D) if "v" in conv else conv["w"]
@@ -117,7 +159,8 @@ def init_mpd(key) -> dict:
 
 
 def apply_mpd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray,
-              precision=None, dtype=None, stacked: bool = False):
+              precision=None, dtype=None, stacked: bool = False,
+              folded: bool = False):
     """Returns (y_d_rs, y_d_gs, fmap_rs, fmap_gs) like the reference
     MultiPeriodDiscriminator (models.py:206-225). dtype=bfloat16 runs the
     disc stack in bf16 compute (params stay f32) — a TPU training lever.
@@ -132,14 +175,15 @@ def apply_mpd(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray,
         if stacked:
             s, f = apply_discriminator_p(
                 p, jnp.concatenate([y, y_hat], axis=0), period, precision,
-                dtype)
+                dtype, folded=folded)
             s_r, s_g = s[:b], s[b:]
             f_r = [t[:b] for t in f]
             f_g = [t[b:] for t in f]
         else:
-            s_r, f_r = apply_discriminator_p(p, y, period, precision, dtype)
+            s_r, f_r = apply_discriminator_p(p, y, period, precision, dtype,
+                                             folded=folded)
             s_g, f_g = apply_discriminator_p(p, y_hat, period, precision,
-                                             dtype)
+                                             dtype, folded=folded)
         y_d_rs.append(s_r)
         y_d_gs.append(s_g)
         fmap_rs.append(f_r)

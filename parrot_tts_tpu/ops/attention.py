@@ -15,6 +15,7 @@ path can slot in behind the same signature for longer sequences.
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 import jax
@@ -65,11 +66,18 @@ def multi_head_attention(
     scale = 1.0 / math.sqrt(d_head)
 
     if not force_xla and _use_flash(t, d_head, dropout_p, deterministic):
-        if dropout_p > 0.0 and not deterministic:
-            out = _flash_attention_dropout(qp, kp, vp, key_padding_mask,
-                                           scale, dropout_p, dropout_rng)
-        else:
-            out = _flash_attention(qp, kp, vp, key_padding_mask, scale)
+        # Mosaic lowers only DEFAULT/HIGHEST dot precision; under an
+        # ambient "high" context (the selective-high decode mode) upgrade
+        # the kernel to HIGHEST — attention is the exactness-critical op
+        ctx = (jax.default_matmul_precision("highest")
+               if jax.config.jax_default_matmul_precision == "high"
+               else contextlib.nullcontext())
+        with ctx:
+            if dropout_p > 0.0 and not deterministic:
+                out = _flash_attention_dropout(qp, kp, vp, key_padding_mask,
+                                               scale, dropout_p, dropout_rng)
+            else:
+                out = _flash_attention(qp, kp, vp, key_padding_mask, scale)
     else:
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", qp, kp, precision=precision) * scale

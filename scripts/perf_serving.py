@@ -28,13 +28,15 @@ WORDS = ("the quick brown fox jumps over a lazy dog and sings ringing "
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
-    ap.add_argument("--exact", choices=("full", "selective", "off"),
-                    default="full",
+    ap.add_argument("--exact",
+                    choices=("full", "selective", "selective-high", "off"),
+                    default="selective-high",
                     help="TTE decode precision mode (A/B: 'selective' runs "
                          "the decoder stack at default precision, gated "
                          "unit-exact by tpu_parity_check)")
     args = ap.parse_args()
-    exact = {"full": True, "selective": "selective", "off": False}[args.exact]
+    exact = {"full": True, "selective": "selective",
+             "selective-high": "selective-high", "off": False}[args.exact]
 
     import jax
 

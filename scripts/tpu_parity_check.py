@@ -206,17 +206,21 @@ def tte_decode_parity():
     # selective-precision mode: f32 only on encoder + duration predictor +
     # head, decoder stack at default precision (VERDICT r3 #3). GATED: it
     # must remain unit-exact vs the torch oracle to be a serving mode.
-    codes_s, mask_s, total_s = parrot.infer_codes(
-        params, batch_j, cfg, out_len=t_bucket, exact="selective")
-    codes_s, mask_s = np.asarray(codes_s), np.asarray(mask_s)
-    sel_len_ok = np.array_equal(np.asarray(total), np.asarray(total_s))
-    sel_exact = bool(sel_len_ok) and all(
-        codes_s[i][mask_s[i]].tolist() == list(ref)
-        for i, ref in enumerate(ref_codes))
-    sel_agree = (float(np.mean(codes[mask] == codes_s[mask_s]))
-                 if sel_len_ok and mask_s.sum() == mask.sum() else 0.0)
-    log(f"  selective-precision decode: lengths_ok={sel_len_ok}, "
-        f"unit_exact={sel_exact}, code agreement {sel_agree:.4f}")
+    sel_results = {}
+    for mode in ("selective", "selective-high"):
+        codes_s, mask_s, total_s = parrot.infer_codes(
+            params, batch_j, cfg, out_len=t_bucket, exact=mode)
+        codes_s, mask_s = np.asarray(codes_s), np.asarray(mask_s)
+        sel_len_ok = np.array_equal(np.asarray(total), np.asarray(total_s))
+        sel_exact = bool(sel_len_ok) and all(
+            codes_s[i][mask_s[i]].tolist() == list(ref)
+            for i, ref in enumerate(ref_codes))
+        sel_agree = (float(np.mean(codes[mask] == codes_s[mask_s]))
+                     if sel_len_ok and mask_s.sum() == mask.sum() else 0.0)
+        log(f"  {mode} decode: lengths_ok={sel_len_ok}, "
+            f"unit_exact={sel_exact}, code agreement {sel_agree:.4f}")
+        sel_results[mode] = (sel_exact, sel_agree)
+    sel_exact, sel_agree = sel_results["selective"]
 
     # informational: how close does the default-precision FAST path get?
     codes_f, mask_f, total_f = parrot.infer_codes(
@@ -232,6 +236,9 @@ def tte_decode_parity():
         "flash_engaged": True, "exact_mode": True, "xla_agreement": True,
         "selective_mode_unit_exact": sel_exact,
         "selective_mode_code_agreement": round(sel_agree, 4),
+        "selective_high_unit_exact": sel_results["selective-high"][0],
+        "selective_high_code_agreement": round(
+            sel_results["selective-high"][1], 4),
         "fast_mode_code_agreement": round(agree, 4)}
 
 

@@ -203,3 +203,26 @@ def test_stacked_discriminators_match_sequential(rng):
     u_stk = stk[4]["discriminators"][0]["convs"][0]["u"]
     np.testing.assert_allclose(np.asarray(u_seq), np.asarray(u_stk),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mpd_folded_matches_nhwc(rng):
+    """The trainer's folded MPD path (p moved into batch + time-folded
+    early layers) equals the NHWC path up to the documented element
+    reordering: folded fmaps are (B, p, H, C) vs NHWC (B, H, p, C)."""
+    import jax
+
+    from parrot_tts_tpu.models.vocoder import discriminator as disc
+
+    x = jnp.asarray(rng.standard_normal((2, 1260, 1)) * 0.3, jnp.float32)
+    p = disc.init_discriminator_p(jax.random.key(0))
+    for period in (2, 3, 5):
+        s_ref, f_ref = disc.apply_discriminator_p(p, x, period)
+        s_fld, f_fld = disc.apply_discriminator_p(p, x, period, folded=True)
+        assert len(f_ref) == len(f_fld)
+        for a, c in zip(f_ref, f_fld):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(a).transpose(0, 2, 1, 3),
+                rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.sort(np.asarray(s_fld), axis=None),
+                                   np.sort(np.asarray(s_ref), axis=None),
+                                   rtol=2e-4, atol=2e-5)
