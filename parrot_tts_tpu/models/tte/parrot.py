@@ -203,8 +203,18 @@ def apply_parrot(
     """
     enc_ctx = (jax.default_matmul_precision("highest") if selective_exact
                else contextlib.nullcontext())
-    dec_ctx = (jax.default_matmul_precision("high")
-               if selective_exact == "high" else contextlib.nullcontext())
+    if selective_exact == "high":
+        # decoder at 3-pass bf16; the flash kernel cannot lower HIGH, so
+        # attention explicitly upgrades to highest (exactness-critical op)
+        @contextlib.contextmanager
+        def _dec_high():
+            with jax.default_matmul_precision("high"), \
+                    attn_ops.flash_precision("highest"):
+                yield
+
+        dec_ctx = _dec_high()
+    else:
+        dec_ctx = contextlib.nullcontext()
     pe = pos_table(cfg)
     src_mask = batch["src_mask"]
     src_pad = ~src_mask

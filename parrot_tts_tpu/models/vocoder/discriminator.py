@@ -114,6 +114,12 @@ def apply_discriminator_p(p: dict, x: jnp.ndarray, period: int,
             if dtype is not None:
                 w = w.astype(dtype)
             w1 = w[:, 0]                      # (k, 1, ci, co) -> (k, ci, co)
+            # padding 2 is a REFERENCE QUIRK, not (k-1)//2: DiscriminatorP
+            # hardcodes get_padding(5,1) for every kernel_size
+            # (models.py:177-182) — the NHWC path and this one both
+            # reproduce it, and folded_grouped_conv1d's t_out assert
+            # rejects any kernel_size where the fold stops being a pure
+            # output relayout
             if li in _MPD_FOLD_F:
                 x = folded_ops.folded_grouped_conv1d(
                     x, w1, conv["b"].astype(x.dtype), stride=s, padding=2,

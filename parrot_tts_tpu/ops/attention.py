@@ -23,6 +23,26 @@ import jax.numpy as jnp
 
 NEG_INF = float("-inf")
 
+# Trace-time precision override for the flash kernel (Mosaic lowers only
+# DEFAULT/HIGHEST dot precision). Set via flash_precision(...) by callers
+# that wrap surrounding code in an unsupported ambient precision — e.g.
+# the selective-high decode mode's 3-pass-bf16 decoder context
+# (models/tte/parrot.py). Keying off the GLOBAL jax config instead would
+# silently change every model's attention when a user sets
+# jax_default_matmul_precision="high" for unrelated reasons.
+_FLASH_PRECISION_OVERRIDE: str | None = None
+
+
+@contextlib.contextmanager
+def flash_precision(precision: str):
+    global _FLASH_PRECISION_OVERRIDE
+    prev = _FLASH_PRECISION_OVERRIDE
+    _FLASH_PRECISION_OVERRIDE = precision
+    try:
+        yield
+    finally:
+        _FLASH_PRECISION_OVERRIDE = prev
+
 
 def multi_head_attention(
     q: jnp.ndarray,
@@ -66,11 +86,8 @@ def multi_head_attention(
     scale = 1.0 / math.sqrt(d_head)
 
     if not force_xla and _use_flash(t, d_head, dropout_p, deterministic):
-        # Mosaic lowers only DEFAULT/HIGHEST dot precision; under an
-        # ambient "high" context (the selective-high decode mode) upgrade
-        # the kernel to HIGHEST — attention is the exactness-critical op
-        ctx = (jax.default_matmul_precision("highest")
-               if jax.config.jax_default_matmul_precision == "high"
+        ctx = (jax.default_matmul_precision(_FLASH_PRECISION_OVERRIDE)
+               if _FLASH_PRECISION_OVERRIDE is not None
                else contextlib.nullcontext())
         with ctx:
             if dropout_p > 0.0 and not deterministic:

@@ -110,7 +110,12 @@ def int8_conv_nwc_pallas(
     t_out = t + pl_ + pr_ - d * (k - 1)
     assert t_out > 0
 
+    # bn must DIVIDE co (the channel grid dim floors): largest 128-multiple
+    # divisor of co that fits block_n — co=384 with block_n=256 would
+    # otherwise leave channels 256..383 unwritten (reviewed bug)
     bn = min(block_n, co)
+    while co % bn:
+        bn -= 128
     bt = min(block_t, max(32, -(-t_out // 32) * 32))
     n_t = -(-t_out // bt)
     # the kernel reads an aligned slab of bt + d*(k-1) rows per tile

@@ -84,13 +84,15 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
             return True
         return False
 
+    pending: dict = {}   # partial accumulation groups, carried across epochs
+    idle_epochs = 0
     while not done:
         made_progress = False
         # micro-batches are stacked host-side into (K, B, ...) groups and
         # run through ONE compiled call each (train_step_k): the relay
         # charges ~1.3 ms of fixed dispatch cost per call (PERF.md 4a),
         # so K dispatches per optimizer step wastes ~20% of the step
-        stacked = _stack_microbatches(loader.batches(epoch), acc)
+        stacked = _stack_microbatches(loader.batches(epoch), acc, pending)
         for batch in device_prefetch(stacked, mesh, batch_axis=1):
             k_here = batch["codes"].shape[0]
             tgt_len = batch["codes"].shape[2]
@@ -99,7 +101,8 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
             made_progress = True
             micro_steps += k_here
             opt_steps = micro_steps // acc
-            thr.tick()
+            for _ in range(k_here):   # sec_per_batch stays per MICRO-batch
+                thr.tick()
 
             if crossed("log", tcfg.log_every):
                 vals = {k: float(v) for k, v in metrics.items()}
@@ -122,8 +125,16 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
             if opt_steps >= total:
                 done = True
                 break
-        if not made_progress:
-            raise RuntimeError("loader yielded no batches this epoch")
+        if made_progress:
+            idle_epochs = 0
+        else:
+            # a tiny corpus can yield fewer than grad_acc_steps micro-
+            # batches per epoch; the carried `pending` fills over epochs
+            idle_epochs += 1
+            if idle_epochs > acc:
+                raise RuntimeError(
+                    "loader yielded no full accumulation group in "
+                    f"{idle_epochs} consecutive epochs")
         epoch += 1
 
     mgr.save(micro_steps // tcfg.grad_acc_steps, jax.device_get(state),
@@ -134,11 +145,15 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
     return {"steps": micro_steps // tcfg.grad_acc_steps, "epochs": epoch}
 
 
-def _stack_microbatches(batches, k: int):
+def _stack_microbatches(batches, k: int, pending: dict):
     """Group same-bucket micro-batches into stacked (K, B, ...) pytrees for
-    train_step_k. Leftovers at epoch end go out as (1, B, ...) stacks
-    (bounded extra compiles: one K=1 variant per bucket pair)."""
-    pending: dict[tuple, list] = {}
+    train_step_k. `pending` PERSISTS across epochs (the caller owns it):
+    emitting K=1 leftovers per epoch would leave MultiSteps' mini_step
+    mid-cycle and permanently disable train_step_k's single-apply fast
+    path (full-K generic calls advance mini_step by K = 0 mod k, never
+    restoring the residue). Carried-over micro-batches complete their
+    group next epoch; at most k-1 micro-batches per bucket pair remain
+    unconsumed when training stops."""
 
     def stack(group):
         return {key: np.stack([g[key] for g in group])
@@ -149,9 +164,6 @@ def _stack_microbatches(batches, k: int):
         pending.setdefault(key, []).append(b)
         if len(pending[key]) == k:
             yield stack(pending.pop(key))
-    for group in pending.values():
-        for b in group:
-            yield stack([b])
 
 
 def evaluate(params, val_loader: BucketedLoader,

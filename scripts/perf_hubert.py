@@ -99,7 +99,9 @@ def main():
 
     print(json.dumps({
         "metric": "hubert_extraction_audio_seconds_per_second_per_chip",
-        "value": round(audio_s / min(dt_corpus, dt_corpus_inline), 1),
+        # headline = the PRODUCTION path (threaded uploads, the
+        # codes_for_wavs default) — not best-of-modes
+        "value": round(audio_s / dt_corpus, 1),
         "unit": "audio-s/s/chip",
         "detail": {
             "batch": args.batch, "utt_seconds": args.seconds,

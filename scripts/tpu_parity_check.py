@@ -220,6 +220,12 @@ def tte_decode_parity():
         log(f"  {mode} decode: lengths_ok={sel_len_ok}, "
             f"unit_exact={sel_exact}, code agreement {sel_agree:.4f}")
         sel_results[mode] = (sel_exact, sel_agree)
+    # selective-high is the ParrotTTS serving DEFAULT (infer/serving.py)
+    # on the strength of this gate — a regression must FAIL the gate, not
+    # just log
+    assert sel_results["selective-high"][0], (
+        "selective-high decode is no longer unit-exact on hardware but is "
+        "the serving default — fix the regression or change the default")
     sel_exact, sel_agree = sel_results["selective"]
 
     # informational: how close does the default-precision FAST path get?

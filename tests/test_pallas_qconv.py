@@ -80,6 +80,24 @@ def test_int8_matmul_exact(rng):
     np.testing.assert_array_equal(got, a.astype(np.int64) @ b.astype(np.int64))
 
 
+def test_default_blocks_cover_nondivisible_co(rng):
+    """co=384 with the DEFAULT block_n=256 must still write every channel
+    (the channel grid dim floors; bn must divide co — reviewed bug)."""
+    b, t, ci, co, k = 2, 64, 128, 384, 3
+    xq = rng.integers(-127, 128, size=(b, t, ci)).astype(np.int8)
+    wq = rng.integers(-127, 128, size=(k, ci, co)).astype(np.int8)
+    scale = np.ones((b, co), np.float32)
+    acc = jax.lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(wq), window_strides=(1,),
+        padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32)
+    got = np.asarray(pq.int8_conv_nwc_pallas(
+        jnp.asarray(xq), jnp.asarray(wq), jnp.asarray(scale),
+        pads=(1, 1), out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(acc).astype(np.float32),
+                               rtol=1e-6)
+
+
 def test_supported_gate():
     assert pq.supported((2, 10, 128), (3, 128, 256))
     assert not pq.supported((2, 10, 64), (3, 64, 128))   # lanes < 128
