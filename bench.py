@@ -97,13 +97,14 @@ def run_vocoder(quant: str = "none", tte_result: dict | None = None) -> dict:
 
 
 def main():
-    # headline serving config decided by hardware measurement (round 3,
+    # headline serving config decided by hardware measurement (rounds 3-4,
     # VALIDATION.md): quant="int8" is +12.6% over bf16 (5647 vs 5016
     # audio-s/s in the same-process A/B) at essentially no fidelity cost
     # beyond bf16's own (SNR 35.4 vs 35.0 dB, mel-L1 0.295 vs 0.239, both
-    # within the serving budget). The gain is halved activation HBM
-    # traffic, NOT MXU rate: XLA int8 matmul measured 1.0-1.12x bf16 on
-    # this chip (scripts/exp_int8_micro.py), not the nominal 2x.
+    # within the serving budget). The gain is both rate and traffic: the
+    # int8 MXU rate is real (332 TOP/s = 1.70x bf16 marginal, PERF.md 4a;
+    # round-3's 1.0-1.12x reading was relay-overhead-polluted and is
+    # retracted) and int8 halves the activation bytes each fusion moves.
     quant = os.environ.get("BENCH_QUANT", "int8")
     if "--quant" in sys.argv:
         quant = sys.argv[sys.argv.index("--quant") + 1]

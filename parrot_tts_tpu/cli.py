@@ -175,9 +175,16 @@ def _extract_durations(args):
     from parrot_tts_tpu.train import aligner as atrain
 
     # rebuild the typed restore template from the config saved next to the
-    # ckpts (restoring without one yields raw dicts, not the state tuple)
-    mcfg, tcfg = aligner_configs_from_json(
-        (Path(args.ckpt_dir) / "config.json").read_text())
+    # ckpts (restoring without one yields raw dicts, not the state tuple);
+    # ckpt dirs created before config.json was written fall back to the
+    # default configs so old checkpoints keep restoring
+    cfg_path = Path(args.ckpt_dir) / "config.json"
+    if cfg_path.exists():
+        mcfg, tcfg = aligner_configs_from_json(cfg_path.read_text())
+    else:
+        from parrot_tts_tpu.core.config import (AlignerModelConfig,
+                                                AlignerTrainConfig)
+        mcfg, tcfg = AlignerModelConfig(), AlignerTrainConfig()
     mgr = CheckpointManager(args.ckpt_dir)
     state = mgr.restore(
         template=atrain.init_state(jax.random.key(0), mcfg, tcfg))

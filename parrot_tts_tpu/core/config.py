@@ -175,9 +175,9 @@ class VocoderModelConfig:
     fused_mrf: bool = False
     # int8 serving path (ops/quant.py): "none" | "int8-tail" | "int8".
     # Measured mechanism (PERF.md 3b): the gain is halved activation HBM
-    # bytes (+12.6% end-to-end), NOT the nominal 2x int8 MXU rate — XLA
-    # decomposes quantized convs and runs them at bf16 speed (see the
-    # quant.py docstring and the round-3 HLO diagnostic).
+    # bytes AND the real int8 MXU rate (332 TOP/s = 1.70x bf16 marginal;
+    # PERF.md 4a — round-3's "int8 runs at bf16 speed" reading was
+    # overhead-polluted and retracted). +12.6% end-to-end.
     # "int8-tail" quantizes only the folded
     # (lane-packed) stages; "int8" also quantizes the unfolded MRF stages
     # and upsamples (per-batch-row dynamic activation scales). conv_pre

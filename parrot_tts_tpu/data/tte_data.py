@@ -96,7 +96,12 @@ def collate(samples: list[TTESample], src_len: int, tgt_len: int,
         ns, nt = min(len(s.phones), src_len), min(len(s.codes), tgt_len)
         phones[i, :ns] = s.phones[:ns]
         codes[i, :nt] = s.codes[:nt]
-        duration[i, :ns] = s.duration[:ns]
+        # beam-search durations (extract-durations --method beam) may be
+        # shorter than the token sequence when the best path never visits
+        # trailing tokens; zero-pad the tail like the reference's
+        # pad_sequence instead of broadcasting (which would raise)
+        nd = min(len(s.duration), ns)
+        duration[i, :nd] = s.duration[:nd]
         src_mask[i, :ns] = True
         tgt_mask[i, :nt] = True
         speaker[i] = s.speaker

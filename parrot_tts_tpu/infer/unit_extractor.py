@@ -128,14 +128,23 @@ class UnitExtractor:
         return self.get_codes(wav)
 
     def codes_for_wavs(self, wavs: Iterable[np.ndarray],
-                       upload_thread: bool = True) -> list[np.ndarray]:
+                       upload_thread: bool = True,
+                       defer_readback: bool = False) -> list[np.ndarray]:
         """Batched: group by bucket, preserve order.
 
         Pipelined: a window of batches is enqueued ahead of the in-order
         code readbacks so the device computes batch i+1..i+k while the
         host drains batch i — a corpus pass pays ~max(compute, readback)
         per batch instead of their sum (the relay round trip was measured
-        at ~70% of the streaming time, PERF.md 3e)."""
+        at ~70% of the streaming time, PERF.md 3e).
+
+        defer_readback=True keeps every batch's codes on device and drains
+        them in one pass AFTER all compute is enqueued (one bulk fetch per
+        corpus shard instead of one per batch). Code outputs are small
+        (~128 KB int32 per batch) so holding them does not pressure HBM;
+        use for offline corpus extraction where per-utterance streaming
+        latency does not matter (PERF.md 4f/5: tightens the device-bound
+        measurement by removing interleaved relay round trips)."""
         wavs = [np.asarray(w, np.float32) for w in wavs]
         order: dict[int, list[int]] = {}
         for i, w in enumerate(wavs):
@@ -167,7 +176,7 @@ class UnitExtractor:
             for grp in jobs:
                 inflight.append((grp,
                                  self._launch_batch([wavs[i] for i in grp])))
-                if len(inflight) >= window:
+                if not defer_readback and len(inflight) >= window:
                     done_grp, launched = inflight.pop(0)
                     for i, c in zip(done_grp, self._fetch_batch(launched)):
                         out[i] = c
@@ -187,7 +196,7 @@ class UnitExtractor:
                         [wavs[i] for i in jobs[gi + window]]))
                 inflight.append((grp, self._compiled(bucket)(
                     self.params, self.centers, dev_batch, dev_lens)))
-                if len(inflight) >= window:
+                if not defer_readback and len(inflight) >= window:
                     done_grp, launched = inflight.pop(0)
                     for i, c in zip(done_grp, self._fetch_batch(launched)):
                         out[i] = c

@@ -1,13 +1,13 @@
 """Hand Pallas int8 conv + matmul kernels for the quantized serving path.
 
-Round-3 finding (PERF.md 3b): XLA never delivers the v5e's nominal 2x int8
-MXU rate — it DECOMPOSES quantized convs (15 conv fusions vs bf16's 147)
-and its int8 dot_general measures 1.0-1.12x bf16. That measurement refutes
-XLA's lowering, not the chip: every quantized conv in this codebase is ONE
-stride-1 NWC conv on a packed kernel (ops/quant.py), i.e. a
-(B*T, K*Ci) x (K*Ci, Co) int8 matmul with int32 accumulation — a shape a
-Mosaic kernel can own directly. This module settles the question at the
-hardware level (VERDICT r3 #1).
+Outcome (PERF.md 4a/4b — the round-3 motivation for this kernel was an
+overhead artifact and is RETRACTED): the marginal-cost harness showed XLA
+already delivers the int8 MXU rate (332 TOP/s dot_general = 1.70x bf16;
+dyn-int8 convs at 98-211 TOP/s, at/near the relevant HBM/MXU bounds), and
+this hand kernel, though exact on-chip, measures 61 TOP/s at the
+folded-tail shape — SLOWER than XLA's lowering. It is kept as tested
+infrastructure and a recorded negative result, NOT wired into serving.
+Design notes below are left as written for the record.
 
 Kernel design (serving shapes: B=64, T<=10k rows, Ci/Co multiples of 128):
   * grid (B, Co/BN, T'/BT); the whole (Tp, Ci) activation row of one batch

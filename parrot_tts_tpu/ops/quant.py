@@ -1,16 +1,18 @@
 """Dynamic int8 quantized convolution for the vocoder serving path.
 
-Why (measured, round 3 — see PERF.md 3b and bench.py): the win is HBM
-traffic, NOT MXU rate. The nominal 2x int8 MXU rate (394 vs 197 TOPS) is
-NOT delivered through XLA on this chip: `scripts/exp_int8_micro.py`
-measured int8 dot_general at 1.0-1.12x bf16 and pre-quantized int8 convs
-~10x SLOWER (XLA decomposes quantized convs — 15 conv fusions vs bf16's
-147, `scripts/hlo_fusion_report.py --quant int8`). Dynamic-quant convs run
-at bf16 MXU speed, and the measured end-to-end serving gain (+12.6%,
-5016->5647 A/B) comes from halving the activation bytes each fusion reads
-and writes. Fidelity cost is measured and bounded on hardware
-(scripts/tpu_parity_check.py). Whether a hand Pallas kernel can reach the
-2x rate is a separate question from XLA's lowering.
+Why (measured, round 4 — PERF.md 4a, which RETRACTS the round-3 single-op
+numbers as relay-dispatch-overhead artifacts): the v5e int8 MXU rate is
+REAL and XLA-reachable — 332 TOP/s marginal = 1.70x the 196 TF/s bf16
+rate (84% of the 394 nominal peak), and XLA's "decomposed" dynamic-int8
+convs run ABOVE the bf16 conv rate at the MRF shape (211 vs 178 TF/s
+marginal). The end-to-end serving gain (+12.6%, 5016->5647 A/B) therefore
+comes from BOTH rate and halved activation HBM bytes; the folded-tail
+shape is HBM-bound (~650 MB/call for the absmax+quantize+conv+dequant
+chain), so the remaining serving levers are traffic — int8 inter-stage
+activations, fusing quantize into producer epilogues — not rate.
+Fidelity cost is measured and bounded on hardware
+(scripts/tpu_parity_check.py). A hand Pallas int8 conv was built and
+measured SLOWER than XLA's own lowering (ops/pallas_qconv.py, PERF.md 4b).
 
 Scheme (standard symmetric dynamic PTQ):
   * weights: per-output-channel symmetric scales over the PACKED kernel

@@ -137,13 +137,14 @@ def validate(gen_params, val_ds: VocoderDataset, mcfg, mel_cfg, tcfg,
                          np.asarray(y_hat)[0, :, 0], step,
                          mel_cfg.sampling_rate)
             # spectrogram of the GENERATED audio (reference
-            # train.py:221-226), not of the ground-truth mel
+            # train.py:221-226), not of the ground-truth mel; plotted with
+            # h.fmax (the banded mel), not fmax_for_loss=None
             y_hat_mel = stft.mel_spectrogram(
                 y_hat[:, :, 0], n_fft=mel_cfg.n_fft,
                 num_mels=mel_cfg.num_mels,
                 sampling_rate=mel_cfg.sampling_rate,
                 hop_size=mel_cfg.hop_size, win_size=mel_cfg.win_size,
-                fmin=mel_cfg.fmin, fmax=None)
+                fmin=mel_cfg.fmin, fmax=mel_cfg.fmax)
             writer.figure_spectrogram(
                 f"generated/y_hat_spec_{i}",
                 np.asarray(y_hat_mel)[0], step)

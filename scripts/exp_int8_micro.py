@@ -1,5 +1,12 @@
 """Microbenchmark: does XLA actually run int8 at 2x bf16 on this chip?
 
+RETRACTED (PERF.md 4a): this script times ONE op per dispatch, and every
+dispatch through the axon relay carries ~0.6-1.6 ms of fixed overhead, so
+its ratios measured overhead, not the chip. Use
+scripts/exp_marginal_cost.py (N op copies in one jit, fitted slope): the
+true marginal rates are bf16 196 TF/s, int8 332 TOP/s (1.70x). Kept for
+the methodology record.
+
 Times, at the folded-tail conv shapes (rows x 128 lanes):
   1. bf16 conv (the current path)
   2. pure int8 conv -> int32 (operands pre-quantized: isolates MXU rate)

@@ -1,8 +1,10 @@
 """Settle the int8 MXU rate question at the HARDWARE level (VERDICT r3 #1).
 
-Round 3 refuted the nominal 2x int8 rate through XLA (exp_int8_micro:
-dot_general 1.0-1.12x, pre-quantized convs 10x slower because XLA
-decomposes them). This experiment puts Mosaic in control of the lowering:
+Historical note: round 3 believed XLA missed the int8 rate (exp_int8_micro
+single-op timings); PERF.md 4a RETRACTED that — the readings were dominated
+by ~1.3 ms fixed relay dispatch cost, and the true marginal int8 rate
+through plain XLA is 332 TOP/s (1.70x bf16). This experiment, built before
+the retraction, puts Mosaic in control of the lowering:
 
   1. rate control: Pallas tiled matmul, int8 vs bf16, MXU-friendly shape —
      does the chip execute int8 dots at 2x when the kernel asks directly?

@@ -270,3 +270,21 @@ def test_reference_config_loaders():
     assert vm.total_upsample == 320 and vm.model_in_dim == 256
     vt = VocoderTrainConfig.from_reference_json(h)
     assert vt.segment_size == 8960 and vt.adam_b1 == 0.8
+
+
+def test_collate_beam_durations_shorter_than_tokens():
+    """extract-durations --method beam can emit fewer durations than tokens
+    (the best path may never visit trailing tokens); collate zero-pads the
+    tail like the reference's pad_sequence instead of raising (ADVICE r4)."""
+    from parrot_tts_tpu.data.tte_data import TTESample, collate
+
+    s = TTESample(
+        id="x", speaker=0,
+        phones=np.arange(6, dtype=np.int32),
+        codes=np.arange(9, dtype=np.int32),
+        duration=np.array([2, 3, 4], np.int32),  # 3 durations for 6 tokens
+    )
+    batch = collate([s], src_len=8, tgt_len=12, src_pad_idx=0,
+                    code_pad_idx=20)
+    np.testing.assert_array_equal(
+        batch["duration"][0], np.array([2, 3, 4, 0, 0, 0, 0, 0], np.int32))

@@ -234,3 +234,25 @@ def test_unit_extractor_end_to_end(tmp_path, rng):
     d2 = ((feats[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
     ref_codes = d2.argmin(-1)
     assert [int(c) for c in e0["hubert"].split()] == list(ref_codes)
+
+
+def test_codes_for_wavs_defer_readback_matches_streaming(rng):
+    """defer_readback=True (one bulk drain per corpus shard) returns the
+    same codes in the same order as the streaming pipeline."""
+    from parrot_tts_tpu.infer.unit_extractor import UnitExtractor
+
+    m = _tiny_hf("group", False)
+    cfg = _our_cfg("group")
+    params = params_from_state_dict(m.state_dict(), cfg)
+    centers = rng.standard_normal((12, cfg.d_model)).astype(np.float32)
+    ex = UnitExtractor(params, cfg, centers,
+                       buckets=(2000, 4000, 6000), batch_size=2)
+    wavs = [(rng.standard_normal(n) * 0.1).astype(np.float32)
+            for n in (1800, 2400, 5000, 1500, 3900)]
+    base = ex.codes_for_wavs(wavs)
+    for upload_thread in (True, False):
+        got = ex.codes_for_wavs(wavs, upload_thread=upload_thread,
+                                defer_readback=True)
+        assert len(got) == len(base)
+        for a, b in zip(got, base):
+            np.testing.assert_array_equal(a, b)
