@@ -56,13 +56,26 @@ def run_vocoder(quant: str = "none", tte_result: dict | None = None) -> dict:
     spkr = jnp.asarray(rng.integers(0, cfg.num_speakers,
                                     size=(batch,)).astype(np.int32))
 
-    @jax.jit
-    def synth(params, code, spkr):
-        y = gen.apply_code_generator(params, code, spkr, cfg)
-        # scalar checksum: the host readback below is the only reliable
-        # completion barrier on this platform (block_until_ready returns
-        # early through the axon relay)
-        return jnp.sum(y)
+    if quant == "int8-static":
+        # static activation scales: calibrate once on the bench batch
+        # (models/vocoder/generator_staticq.py)
+        from parrot_tts_tpu.models.vocoder import generator_staticq as sq
+
+        qscales = sq.calibrate_qscales(params, code, spkr, cfg)
+
+        @jax.jit
+        def synth(params, code, spkr):
+            y = sq.apply_code_generator_staticq(params, code, spkr,
+                                                qscales, cfg)
+            return jnp.sum(y)
+    else:
+        @jax.jit
+        def synth(params, code, spkr):
+            y = gen.apply_code_generator(params, code, spkr, cfg)
+            # scalar checksum: the host readback below is the only reliable
+            # completion barrier on this platform (block_until_ready returns
+            # early through the axon relay)
+            return jnp.sum(y)
 
     # compile + session warmup (first fetch pays the relay handshake)
     for _ in range(3):

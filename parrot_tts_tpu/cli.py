@@ -120,14 +120,20 @@ def main(argv=None):
     s.add_argument("--debug", action="store_true",
                    help="serial one-utterance-at-a-time synthesis "
                         "(reference inference.py:237-251)")
+    s.add_argument("--mesh", action="store_true",
+                   help="shard each batch over all devices' data axis "
+                        "(the TPU-native replacement for the reference's "
+                        "8-GPU pool, inference.py:201-261)")
     s.add_argument("-n", "--limit", type=int, default=None,
                    help="stop after N utterances (reference -n)")
     s.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                    help="serving compute dtype (default: checkpoint config)")
     s.add_argument("--quant", default=None,
-                   choices=["none", "int8-tail", "int8"],
-                   help="int8 MXU serving path (ops/quant.py; fidelity "
-                        "bounds in VALIDATION.md)")
+                   choices=["none", "int8-tail", "int8", "int8-static"],
+                   help="int8 MXU serving path (ops/quant.py; int8-static "
+                        "adds calibrated static activation scales, "
+                        "generator_staticq.py; fidelity bounds in "
+                        "VALIDATION.md)")
 
     args = p.parse_args(argv)
     return DISPATCH[args.cmd](args)
@@ -326,7 +332,12 @@ def _synthesize(args):
     mgr = CheckpointManager(args.ckpt_dir)
     state = mgr.restore()
     gen_params = state["gen_params"] if "gen_params" in state else state
-    synth = VocoderSynthesizer(gen_params, vcfg)
+    mesh = None
+    if getattr(args, "mesh", False):
+        from parrot_tts_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh()
+    synth = VocoderSynthesizer(gen_params, vcfg, mesh=mesh)
 
     entries = read_manifest(args.manifest)
     if getattr(args, "limit", None):

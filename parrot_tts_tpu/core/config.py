@@ -180,7 +180,11 @@ class VocoderModelConfig:
     # overhead-polluted and retracted). +12.6% end-to-end.
     # "int8-tail" quantizes only the folded
     # (lane-packed) stages; "int8" also quantizes the unfolded MRF stages
-    # and upsamples (per-batch-row dynamic activation scales). conv_pre
+    # and upsamples (per-batch-row dynamic activation scales);
+    # "int8-static" additionally makes the activation scales STATIC
+    # (calibrated once per checkpoint) so the per-call absmax passes
+    # vanish and inter-stage tensors cross HBM as int8
+    # (models/vocoder/generator_staticq.py, PERF.md r5). conv_pre
     # and conv_post always stay in `dtype` (embedding head / waveform
     # tail are fidelity-critical). Serving-only:
     # the quantized path defines no custom VJP. Fidelity bounds are

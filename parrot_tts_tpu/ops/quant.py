@@ -79,6 +79,49 @@ def quantize_per_out_channel(w: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
+def quantize_static(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """x (float) -> int8 with a STATIC (data-independent) scale.
+
+    The static-activation serving mode (PERF.md r5): scales are calibrated
+    once per checkpoint, so the per-call absmax reduction pass disappears
+    and XLA can fuse this quantize into the producing conv's epilogue —
+    inter-stage tensors then cross HBM at 1 byte/element. Values beyond
+    scale*127 clip (the calibration margin bounds how often)."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
+    return q.astype(jnp.int8)
+
+
+def int8_conv_qin(
+    xq: jnp.ndarray,
+    sx,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    pads: tuple[int, int],
+    rhs_dilation: int = 1,
+) -> jnp.ndarray:
+    """Stride-1 NWC conv on an ALREADY-int8 activation (static scale sx).
+
+    xq: (B, T, Ci) int8; w: (K, Ci, Co) float packed kernel (quantized
+    per-out-channel in-graph — weights are small next to activations, and
+    in-graph quantization keeps XLA on the fused int8 lowering).
+    Returns (B, T', Co) float32 = acc * (sx * sw) + b for the caller's
+    epilogue algebra (leaky/residual/requantize), which XLA fuses."""
+    wq, sw = quantize_per_out_channel(w)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq,
+        window_strides=(1,),
+        padding=(pads,),
+        rhs_dilation=(rhs_dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * sw[None, None, :])
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
 def int8_conv_nwc(
     x: jnp.ndarray,
     w: jnp.ndarray,
