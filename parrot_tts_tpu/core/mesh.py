@@ -90,6 +90,25 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, replicated(mesh))
 
 
+def fetch(arr) -> np.ndarray:
+    """Read a (possibly mesh-sharded) device array back as the full global
+    numpy value. Single-process: plain np.asarray (jax gathers addressable
+    shards). Multi-process: every host holds only its shards, so the global
+    value is assembled with a process allgather — the synthesis outputs this
+    is used on (codes, waveforms) are small next to HBM, and serving callers
+    need the full batch to unpad per-utterance results."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr))
+    return np.asarray(arr)
+
+
+def pad_rows_to_multiple(n: int, multiple: int) -> int:
+    """Rows a batch must grow to so the leading dim shards evenly."""
+    return -(-n // multiple) * multiple
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n_data = mesh.shape[mesh.axis_names[0]]
     if global_batch % n_data != 0:

@@ -41,6 +41,7 @@ class ParrotTTS:
         out_len_per_token: int = 16,
         batch_size: int = 64,
         exact: bool | str = "selective-high",
+        mesh=None,
     ):
         """exact: decode precision mode (models/tte/parrot.py::infer_codes).
         The default "selective-high" (f32 on encoder/duration/head, 3-pass
@@ -48,7 +49,13 @@ class ParrotTTS:
         hardware gate (scripts/tpu_parity_check.py: 2024 codes, agreement
         1.0) at +23% throughput over full-f32 (True). "selective"
         (default-precision decoder) is +67% at 99.95% code agreement;
-        False is all-default precision (not exact)."""
+        False is all-default precision (not exact).
+
+        mesh: optional `jax.sharding.Mesh` — both the TTE decode and the
+        vocoder shard each batch over the mesh's `data` axis (the
+        TPU-native replacement for the reference's 8-GPU inference pool,
+        utils/vocoder/inference.py:201-261). Outputs are identical to the
+        single-device path (asserted in tests and dryrun_multichip)."""
         import jax
 
         self.tte_cfg = tte_cfg
@@ -58,9 +65,15 @@ class ParrotTTS:
         self.out_len_per_token = out_len_per_token
         self.batch_size = batch_size
         self.exact = exact
+        self.mesh = mesh
         self.tte_params = fold_tte_params(tte_params) if fold else tte_params
+        if mesh is not None:
+            from parrot_tts_tpu.core import mesh as meshlib
+
+            self.tte_params = jax.device_put(self.tte_params,
+                                             meshlib.replicated(mesh))
         self.vocoder = VocoderSynthesizer(vocoder_params, vocoder_cfg,
-                                          fold=fold)
+                                          fold=fold, mesh=mesh)
         self._infer = jax.jit(parrot.infer_codes,
                               static_argnames=("cfg", "out_len", "exact"))
         self.last_stats: dict = {}
@@ -92,7 +105,7 @@ class ParrotTTS:
         # bucket inside decode_buckets — no silent truncation
         return decode_buckets(self._infer, self.tte_params, self.tte_cfg,
                               samples, plan, batch_size=self.batch_size,
-                              exact=self.exact)
+                              exact=self.exact, mesh=self.mesh)
 
     def tts(self, texts: Sequence[str],
             speakers: Sequence[int] | None = None,

@@ -32,24 +32,86 @@ def peak_normalize(wav: np.ndarray) -> np.ndarray:
 
 
 class VocoderSynthesizer:
-    """Batched unit -> waveform synthesis from folded (inference) params."""
+    """Batched unit -> waveform synthesis from folded (inference) params.
+
+    mesh: optional `jax.sharding.Mesh` — batches shard over the mesh's
+    `data` axis and XLA runs the same compiled generator SPMD across
+    devices (computation follows data; params are replicated once at
+    construction). This is the TPU-native replacement for the reference's
+    8-GPU process pool (`/root/reference/utils/vocoder/inference.py:
+    201-261`: one worker pinned per device, utterances farmed over a
+    Pool(8)) — here the batch axis IS the pool. Sharded output is asserted
+    bit-identical to the single-device path in tests/test_infer.py and
+    dryrun_multichip.
+    """
 
     def __init__(self, params, cfg: VocoderModelConfig, *, fold: bool = True,
-                 sample_rate: int = 16_000):
+                 sample_rate: int = 16_000, mesh=None,
+                 calib_margin: float = 1.0):
         import jax
 
         self.cfg = cfg
         self.sample_rate = sample_rate
         needs_fold = fold and "v" in params["conv_pre"]
         self.params = gen.fold_params(params) if needs_fold else params
+        self.mesh = mesh
+        if mesh is not None:
+            from parrot_tts_tpu.core import mesh as meshlib
+
+            self.params = jax.device_put(self.params,
+                                         meshlib.replicated(mesh))
         self._synth = jax.jit(
             lambda p, c, s: gen.apply_code_generator(p, c, s, cfg))
+        # static-activation int8 serving (cfg.quant == "int8-static"):
+        # scales calibrate lazily on the first served batch (or explicitly
+        # via calibrate()); see models/vocoder/generator_staticq.py
+        self.calib_margin = calib_margin
+        self._qscales = None
+        if cfg.quant == "int8-static":
+            from parrot_tts_tpu.models.vocoder import generator_staticq as sq
+
+            self._synth_q = jax.jit(
+                lambda p, qs, c, s: sq.apply_code_generator_staticq(
+                    p, c, s, qs, cfg))
         self.last_rtf: float | None = None
+
+    def calibrate(self, codes, speakers) -> None:
+        """Derive static int8 activation scales from a representative batch
+        (quant == "int8-static" only). Called lazily from synthesize() if
+        not done explicitly."""
+        import jax
+        import jax.numpy as jnp
+
+        from parrot_tts_tpu.models.vocoder import generator_staticq as sq
+
+        code = jnp.asarray(np.stack([np.asarray(c, np.int32) for c in codes]))
+        spk = jnp.asarray(np.asarray(speakers, np.int32))
+        self._qscales = sq.calibrate_qscales(
+            self.params, code, spk, self.cfg, margin=self.calib_margin)
+        if self.mesh is not None:
+            from parrot_tts_tpu.core import mesh as meshlib
+
+            self._qscales = jax.device_put(self._qscales,
+                                           meshlib.replicated(self.mesh))
+
+    def _launch(self, code_dev, spk_dev):
+        if self.cfg.quant == "int8-static":
+            if self._qscales is None:
+                self.calibrate(np.asarray(code_dev), np.asarray(spk_dev))
+            return self._synth_q(self.params, self._qscales,
+                                 code_dev, spk_dev)
+        return self._synth(self.params, code_dev, spk_dev)
+
+    def _n_data(self) -> int:
+        return (1 if self.mesh is None
+                else self.mesh.shape[self.mesh.axis_names[0]])
 
     def synthesize(self, codes: list[np.ndarray],
                    speakers: list[int]) -> list[np.ndarray]:
         """Batch per length bucket; returns trimmed float32 waveforms."""
         import jax.numpy as jnp
+
+        from parrot_tts_tpu.core import mesh as meshlib
 
         hop = self.cfg.total_upsample
         results: list[np.ndarray | None] = [None] * len(codes)
@@ -61,8 +123,11 @@ class VocoderSynthesizer:
         total_audio_s = 0.0
         for t_len, idxs in sorted(by_bucket.items()):
             b = len(idxs)
-            code_pad = np.zeros((b, t_len), np.int32)
-            spk = np.zeros((b,), np.int32)
+            # under a mesh the leading dim must shard evenly: pad with
+            # repeat rows (trimmed after) so every device gets equal work
+            b_pad = meshlib.pad_rows_to_multiple(b, self._n_data())
+            code_pad = np.zeros((b_pad, t_len), np.int32)
+            spk = np.zeros((b_pad,), np.int32)
             for j, gi in enumerate(idxs):
                 c = codes[gi][:t_len]
                 code_pad[j, : len(c)] = c
@@ -72,8 +137,29 @@ class VocoderSynthesizer:
                     reps = int(np.ceil(t_len / len(c)))
                     code_pad[j] = np.tile(c, reps)[:t_len]
                 spk[j] = speakers[gi]
-            y = np.asarray(self._synth(self.params, jnp.asarray(code_pad),
-                                       jnp.asarray(spk)))
+            for j in range(b, b_pad):      # filler rows: repeat row 0
+                code_pad[j] = code_pad[0]
+                spk[j] = spk[0]
+            if self.mesh is not None:
+                import jax
+
+                # multi-process: shard_batch expects each host's LOCAL slice
+                # of the global batch (same contiguous-block convention as
+                # BucketedLoader.batches); fetch() reassembles the global
+                # output on every host
+                if jax.process_count() > 1:
+                    loc = b_pad // jax.process_count()
+                    sl = slice(jax.process_index() * loc,
+                               (jax.process_index() + 1) * loc)
+                    local = {"code": code_pad[sl], "spk": spk[sl]}
+                else:
+                    local = {"code": code_pad, "spk": spk}
+                sharded = meshlib.shard_batch(self.mesh, local)
+                y = meshlib.fetch(self._launch(sharded["code"],
+                                               sharded["spk"]))
+            else:
+                y = np.asarray(self._launch(jnp.asarray(code_pad),
+                                            jnp.asarray(spk)))
             for j, gi in enumerate(idxs):
                 n = len(codes[gi][:t_len]) * hop
                 results[gi] = y[j, :n, 0]

@@ -36,6 +36,7 @@ def decode_buckets(
     *,
     batch_size: int,
     exact: bool | str = True,
+    mesh=None,
 ) -> list[np.ndarray]:
     """Run greedy decode over a (s_len, out_len, indices) bucket plan,
     re-decoding any sample whose predicted total duration overflows its
@@ -43,9 +44,19 @@ def decode_buckets(
     truncate (modules/duration.py:6-24), so neither may the bucketed path.
 
     samples: (phone_ids, speaker) per item. Returns unit arrays per item.
+
+    mesh: optional `jax.sharding.Mesh` — batches shard over the `data`
+    axis and the identical compiled program runs SPMD (params must already
+    be replicated on the mesh; computation follows the input sharding).
+    Rows are repeat-padded to a multiple of the data-axis size; outputs
+    are fetched globally, so the retry plan is derived identically on
+    every host.
     """
+    from parrot_tts_tpu.core import mesh as meshlib
+
     cap = max_decode_len(model_cfg)
     results: list[np.ndarray | None] = [None] * len(samples)
+    n_data = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
     pending = list(plan)
     while pending:
         s_len, out_len, idxs = pending.pop(0)
@@ -53,22 +64,37 @@ def decode_buckets(
         for off in range(0, len(idxs), batch_size):
             chunk = idxs[off : off + batch_size]
             b = len(chunk)
-            phones = np.zeros((b, s_len), np.int32)
-            src_mask = np.zeros((b, s_len), bool)
-            speaker = np.zeros((b,), np.int32)
+            b_pad = meshlib.pad_rows_to_multiple(b, n_data)
+            phones = np.zeros((b_pad, s_len), np.int32)
+            src_mask = np.zeros((b_pad, s_len), bool)
+            speaker = np.zeros((b_pad,), np.int32)
             for j, gi in enumerate(chunk):
                 seq, spk = samples[gi]
                 n = min(len(seq), s_len)
                 phones[j, :n] = seq[:n]
                 src_mask[j, :n] = True
                 speaker[j] = spk
-            batch = {"phones": jnp.asarray(phones),
-                     "src_mask": jnp.asarray(src_mask),
-                     "speaker": jnp.asarray(speaker)}
+            for j in range(b, b_pad):   # filler rows: repeat row 0
+                phones[j], src_mask[j] = phones[0], src_mask[0]
+                speaker[j] = speaker[0]
+            raw = {"phones": phones, "src_mask": src_mask,
+                   "speaker": speaker}
+            if mesh is not None:
+                import jax
+
+                if jax.process_count() > 1:
+                    loc = b_pad // jax.process_count()
+                    sl = slice(jax.process_index() * loc,
+                               (jax.process_index() + 1) * loc)
+                    raw = {k: v[sl] for k, v in raw.items()}
+                batch = meshlib.shard_batch(mesh, raw)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in raw.items()}
             codes, mask, total = infer(params, batch, cfg=model_cfg,
                                        out_len=out_len, exact=exact)
-            codes, mask = np.asarray(codes), np.asarray(mask)
-            total = np.asarray(total)
+            codes = meshlib.fetch(codes)
+            mask = meshlib.fetch(mask)
+            total = meshlib.fetch(total)
             for j, gi in enumerate(chunk):
                 if total[j] > out_len and out_len < cap:
                     need = min(-(-int(total[j]) // 128) * 128, cap)

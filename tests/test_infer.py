@@ -119,3 +119,49 @@ def test_throughput():
     assert rep["seconds_per_batch"] > 0
     assert rep["audio_seconds_per_second"] > 0
     assert rep["rtf"] == 1.0 / rep["audio_seconds_per_second"]
+
+
+def test_synthesizer_mesh_matches_single_device(rng):
+    """Mesh-sharded synthesis (the TPU-native replacement for the
+    reference's 8-GPU inference pool, utils/vocoder/inference.py:201-261)
+    is BIT-identical to a single device running the same per-device batch
+    shape — each mesh device computes its shard with the identical
+    program, so sharding itself changes nothing. (Comparing against a
+    DIFFERENT batch shape differs at f32-ULP level because XLA schedules
+    convs per shape — the same pre-existing property as the solo
+    batch-vs-batch-1 check above, which is allclose, not equal.)"""
+    from parrot_tts_tpu.core.mesh import create_mesh
+
+    cfg = tiny_cfg()
+    params = gen.init_code_generator(jax.random.key(0), cfg)
+    solo = VocoderSynthesizer(params, cfg)
+    mesh = create_mesh()   # 8 virtual CPU devices (conftest)
+    sharded = VocoderSynthesizer(params, cfg, mesh=mesh)
+
+    lens = [37, 100, 400, 37, 256]     # 5 rows: pads to 8 under the mesh
+    codes = [rng.integers(0, 20, size=n).astype(np.int32) for n in lens]
+    spk = [0, 1, 2, 0, 1]
+    got = sharded.synthesize(codes, spk)
+    # bit-for-bit vs one-row-per-device (the mesh shards are 1 row each)
+    base_rows = [solo.synthesize([c], [s])[0] for c, s in zip(codes, spk)]
+    assert len(got) == len(base_rows)
+    for a, b in zip(got, base_rows):
+        np.testing.assert_array_equal(a, b)
+    # and ULP-close vs the solo batched path
+    base_batch = solo.synthesize(codes, spk)
+    for a, b in zip(got, base_batch):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-6)
+
+    # 2-row shards (4-device mesh) == solo 2-row batches, bit-for-bit
+    # (same-bucket codes so the 8 rows stay one batch)
+    mesh4 = create_mesh(devices=jax.devices()[:4])
+    sharded4 = VocoderSynthesizer(params, cfg, mesh=mesh4)
+    codes8 = [rng.integers(0, 20, size=100).astype(np.int32)
+              for _ in range(8)]
+    spk8 = [0, 1, 2, 0, 1, 2, 0, 1]
+    got4 = sharded4.synthesize(codes8, spk8)
+    base2 = []
+    for i in range(0, 8, 2):
+        base2 += solo.synthesize(codes8[i:i + 2], spk8[i:i + 2])
+    for a, b in zip(got4, base2):
+        np.testing.assert_array_equal(a, b)

@@ -155,3 +155,62 @@ def test_generator_int8_modes(rng, mode):
     snr = 10 * np.log10(float((y_f ** 2).mean())
                         / max(float(((y_f - y_q) ** 2).mean()), 1e-12))
     assert snr > 15.0, f"int8 CPU SNR {snr:.1f} dB"
+
+
+def test_generator_int8_static(rng):
+    """Static-activation int8 serving (generator_staticq): calibrate on a
+    batch, serve the same checkpoint; output stays inside the fidelity
+    envelope of the float forward and the site count is consistent."""
+    from parrot_tts_tpu.models.vocoder import generator as gen
+    from parrot_tts_tpu.models.vocoder import generator_staticq as sq
+
+    cfg = VocoderModelConfig(**TINY)
+    params = gen.fold_params(
+        gen.init_code_generator(jax.random.key(0), cfg))
+    code = jnp.asarray(rng.integers(0, 40, size=(2, 24)).astype(np.int32))
+    spkr = jnp.asarray(rng.integers(0, 4, size=(2,)).astype(np.int32))
+
+    qscales = sq.calibrate_qscales(params, code, spkr, cfg)
+    assert qscales.ndim == 1 and bool((np.asarray(qscales) > 0).all())
+
+    y_f = np.asarray(gen.apply_code_generator(params, code, spkr, cfg))
+    y_q = np.asarray(sq.apply_code_generator_staticq(
+        params, code, spkr, qscales, cfg))
+    assert y_q.shape == y_f.shape and np.isfinite(y_q).all()
+    snr = 10 * np.log10(float((y_f ** 2).mean())
+                        / max(float(((y_f - y_q) ** 2).mean()), 1e-12))
+    assert snr > 15.0, f"int8-static CPU SNR {snr:.1f} dB"
+
+    # serving is deterministic given the calibration
+    y_q2 = np.asarray(sq.apply_code_generator_staticq(
+        params, code, spkr, qscales, cfg))
+    np.testing.assert_array_equal(y_q, y_q2)
+
+    # site-count mismatch raises (stale calibration guard)
+    with pytest.raises(Exception):
+        sq.apply_code_generator_staticq(
+            params, code, spkr, qscales[:-2], cfg)
+
+
+def test_synthesizer_int8_static_lazy_calibration(rng):
+    """VocoderSynthesizer(quant='int8-static') auto-calibrates on the first
+    batch and then serves; output within the envelope of the float
+    synthesizer."""
+    from parrot_tts_tpu.infer.synthesize import VocoderSynthesizer
+    from parrot_tts_tpu.models.vocoder import generator as gen
+
+    cfg_f = VocoderModelConfig(**TINY)
+    cfg_q = dataclasses.replace(cfg_f, quant="int8-static")
+    params = gen.init_code_generator(jax.random.key(0), cfg_f)
+    codes = [rng.integers(0, 40, size=n).astype(np.int32)
+             for n in (24, 24, 60)]
+    spk = [0, 1, 2]
+    base = VocoderSynthesizer(params, cfg_f).synthesize(codes, spk)
+    synth = VocoderSynthesizer(params, cfg_q)
+    got = synth.synthesize(codes, spk)
+    assert synth._qscales is not None
+    for a, b in zip(got, base):
+        assert a.shape == b.shape
+        num = float((np.asarray(b) ** 2).mean())
+        den = max(float(((np.asarray(a) - np.asarray(b)) ** 2).mean()), 1e-12)
+        assert 10 * np.log10(num / den) > 15.0
