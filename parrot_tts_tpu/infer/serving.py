@@ -49,7 +49,10 @@ class ParrotTTS:
         hardware gate (scripts/tpu_parity_check.py: 2024 codes, agreement
         1.0) at +23% throughput over full-f32 (True). "selective"
         (default-precision decoder) is +67% at 99.95% code agreement;
-        False is all-default precision (not exact).
+        "hybrid" decodes fast with per-sample top-2 logit margins and
+        re-decodes only near-tie samples exactly (unit-exact by gate,
+        ~"selective" throughput); False is all-default precision (not
+        exact).
 
         mesh: optional `jax.sharding.Mesh` — both the TTE decode and the
         vocoder shard each batch over the mesh's `data` axis (the
@@ -75,7 +78,7 @@ class ParrotTTS:
         self.vocoder = VocoderSynthesizer(vocoder_params, vocoder_cfg,
                                           fold=fold, mesh=mesh)
         self._infer = jax.jit(parrot.infer_codes,
-                              static_argnames=("cfg", "out_len", "exact"))
+                              static_argnames=("cfg", "out_len", "exact", "with_margin"))
         self.last_stats: dict = {}
 
     def tokenize(self, text: str) -> np.ndarray:

@@ -37,6 +37,7 @@ def decode_buckets(
     batch_size: int,
     exact: bool | str = True,
     mesh=None,
+    margin_threshold: float = 0.5,
 ) -> list[np.ndarray]:
     """Run greedy decode over a (s_len, out_len, indices) bucket plan,
     re-decoding any sample whose predicted total duration overflows its
@@ -51,8 +52,21 @@ def decode_buckets(
     Rows are repeat-padded to a multiple of the data-axis size; outputs
     are fetched globally, so the retry plan is derived identically on
     every host.
+
+    exact="hybrid": decode with the fast "selective" mode (f32 lengths —
+    exact by the hardware gate — and a 1-pass-bf16 decoder) while reading
+    back each sample's min top-2 logit margin; samples whose margin falls
+    below `margin_threshold` (where an argmax flip is possible) are
+    re-decoded in the unit-exact "selective-high" mode. The measured flip
+    rate is ~1/2000 codes, so the exact pass amortizes to ~free
+    (PERF.md r5; threshold picked from the on-chip margin distribution,
+    scripts/tpu_parity_check.py).
     """
     from parrot_tts_tpu.core import mesh as meshlib
+
+    hybrid = exact == "hybrid"
+    fast_exact = "selective" if hybrid else exact
+    flagged: dict[tuple[int, int], list[int]] = {}
 
     cap = max_decode_len(model_cfg)
     results: list[np.ndarray | None] = [None] * len(samples)
@@ -90,8 +104,14 @@ def decode_buckets(
                 batch = meshlib.shard_batch(mesh, raw)
             else:
                 batch = {k: jnp.asarray(v) for k, v in raw.items()}
-            codes, mask, total = infer(params, batch, cfg=model_cfg,
-                                       out_len=out_len, exact=exact)
+            if hybrid:
+                codes, mask, total, margin = infer(
+                    params, batch, cfg=model_cfg, out_len=out_len,
+                    exact=fast_exact, with_margin=True)
+                margin = meshlib.fetch(margin)
+            else:
+                codes, mask, total = infer(params, batch, cfg=model_cfg,
+                                           out_len=out_len, exact=fast_exact)
             codes = meshlib.fetch(codes)
             mask = meshlib.fetch(mask)
             total = meshlib.fetch(total)
@@ -106,8 +126,21 @@ def decode_buckets(
                             f" frames exceeds the model's positional-table "
                             f"cap {cap}; output truncated")
                     results[gi] = codes[j][mask[j]].astype(np.int32)
+                    if hybrid and margin[j] < margin_threshold:
+                        flagged.setdefault((s_len, out_len), []).append(gi)
         for (rs, rt), ridx in sorted(retry.items()):
             pending.append((rs, rt, ridx))
+
+    if hybrid and flagged:
+        # exact re-decode of the near-tie samples only (the hybrid's
+        # correctness pass); overwrites their fast results
+        exact_plan = [(s, t, idxs) for (s, t), idxs in sorted(flagged.items())]
+        exact_results = decode_buckets(
+            infer, params, model_cfg, samples, exact_plan,
+            batch_size=batch_size, exact="selective-high", mesh=mesh)
+        for idxs in flagged.values():
+            for gi in idxs:
+                results[gi] = exact_results[gi]
     return results  # type: ignore[return-value]
 
 
@@ -130,7 +163,7 @@ def predict_units(
         by_bucket.setdefault(pick_bucket(src_buckets, len(s.phones)), []).append(i)
 
     infer = jax.jit(parrot.infer_codes,
-                    static_argnames=("cfg", "out_len", "exact"))
+                    static_argnames=("cfg", "out_len", "exact", "with_margin"))
 
     cap = max_decode_len(model_cfg)
     plan = [(s_len, min(s_len * out_len_per_token, cap), idxs)

@@ -278,6 +278,18 @@ def apply_parrot(
     return logits, tgt_mask, log_dur_pred
 
 
+def _code_margin(logits: jnp.ndarray, tgt_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B,) min over valid frames of (top1 - top2) logit gap — how close
+    the greedy decode came to an argmax tie. A frame whose gap exceeds
+    twice the fast path's worst logit perturbation cannot flip under that
+    path; the hybrid decode re-runs only samples below the threshold
+    (PERF.md r5; threshold measured on hardware)."""
+    top2 = jax.lax.top_k(logits, 2)[0]                   # (B, T, 2)
+    gap = (top2[..., 0] - top2[..., 1]).astype(jnp.float32)
+    gap = jnp.where(tgt_mask, gap, jnp.inf)
+    return jnp.min(gap, axis=1)
+
+
 def infer_codes(
     params: dict,
     batch: dict,
@@ -286,10 +298,12 @@ def infer_codes(
     out_len: int,
     precision=None,
     exact: bool = True,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_margin: bool = False,
+):
     """Greedy decode (reference parrot.py:112-120): argmax over codes,
     validity mask for host-side unpadding. Returns (codes (B,out_len),
-    mask True=valid, total (B,) = sum of predicted durations).
+    mask True=valid, total (B,) = sum of predicted durations), plus a
+    (B,) min top-2 logit margin when with_margin=True (hybrid decode).
 
     `total` lets callers detect bucket overflow: the reference's dynamic
     shapes never truncate (modules/duration.py:6-24), so when
@@ -314,8 +328,9 @@ def infer_codes(
         with jax.default_matmul_precision("highest"):
             durations = jnp.where(batch["src_mask"],
                                   lr_ops.durations_from_log_pred(log_dur), 0)
-        return (jnp.argmax(logits, axis=-1), tgt_mask,
-                jnp.sum(durations, axis=1))
+        out = (jnp.argmax(logits, axis=-1), tgt_mask,
+               jnp.sum(durations, axis=1))
+        return out + (_code_margin(logits, tgt_mask),) if with_margin else out
     ctx = (jax.default_matmul_precision("highest") if exact
            else contextlib.nullcontext())
     with ctx:
@@ -324,4 +339,6 @@ def infer_codes(
             deterministic=True, precision=precision)
         durations = jnp.where(batch["src_mask"],
                               lr_ops.durations_from_log_pred(log_dur), 0)
-    return jnp.argmax(logits, axis=-1), tgt_mask, jnp.sum(durations, axis=1)
+    out = (jnp.argmax(logits, axis=-1), tgt_mask,
+           jnp.sum(durations, axis=1))
+    return out + (_code_margin(logits, tgt_mask),) if with_margin else out

@@ -77,26 +77,43 @@ class _QT:
 
 
 def _forward(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
-             tape: _QTape, lane_target: int = 128) -> jnp.ndarray:
+             tape: _QTape, lane_target: int = 128,
+             residual_int8: bool = False) -> jnp.ndarray:
     """Shared body: the generator forward with explicit materialization
-    points. x: (B, T, model_in_dim) float."""
+    points. x: (B, T, model_in_dim) float.
+
+    residual_int8=False (default) keeps the residual carriers (stage
+    inputs and resblock pair outputs) in the bf16 compute dtype so
+    quantization error enters only at CONV inputs — measured worth
+    ~2 dB SNR on-chip for ~no throughput cost (the absmax passes are
+    gone either way; PERF.md r5). True quantizes every materialization
+    (the maximum-traffic-saving variant)."""
     nk = len(cfg.resblock_kernel_sizes)
     dtype = jnp.dtype(cfg.dtype)
     calib = tape.mode == "calibrate"
     assert cfg.resblock == "1", "int8-static serving targets the V1 topology"
 
-    def mat(xf):
-        """Materialize an inter-stage tensor (int8 in serve mode)."""
+    def mat(xf, int8=True):
+        """Materialize an inter-stage tensor (int8 in serve mode).
+        Scales are per-CHANNEL (amax over batch and time): per-tensor
+        scales measured ~5 dB worse on-chip (PERF.md r5), and the
+        consuming conv folds channel scales into its weights for free.
+        int8=False materializes in the compute dtype instead (residual
+        carriers when residual_int8 is off); site order stays identical
+        between calibrate and serve because the flag is static."""
+        if not int8:
+            return xf if calib else xf.astype(dtype)
         if calib:
-            tape.collected.append(jnp.max(jnp.abs(xf.astype(jnp.float32))))
+            tape.collected.append(
+                jnp.max(jnp.abs(xf.astype(jnp.float32)), axis=(0, 1)))
             return xf
         s = tape.next_scale()
         return _QT(quant_ops.quantize_static(xf, s), s)
 
     def deq(xt):
-        if calib:
-            return xt.astype(jnp.float32)
-        return xt.q.astype(jnp.float32) * xt.s
+        if isinstance(xt, _QT):
+            return xt.q.astype(jnp.float32) * xt.s
+        return xt.astype(jnp.float32)
 
     def qconv(xt, w, b, *, pads, dil=1):
         """Conv on a materialized tensor; returns f32 (epilogue fuses)."""
@@ -144,7 +161,7 @@ def _forward(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
                 g = want
 
         stage_rbs = params["resblocks"][i * nk:(i + 1) * nk]
-        x_mat = mat(x)           # one materialization, shared by all nk
+        x_mat = mat(x, int8=residual_int8)   # shared by all nk resblocks
         acc = None
         for j in range(nk):
             rk = cfg.resblock_kernel_sizes[j]
@@ -170,7 +187,7 @@ def _forward(params: dict, x: jnp.ndarray, cfg: VocoderModelConfig,
                 h = qconv(h, c1w, b1, pads=(l1, r1), dil=d1)
                 h = mat(jax.nn.leaky_relu(h, LRELU_SLOPE))
                 h = qconv(h, c2w, b2, pads=(l2, r2))
-                xt_res = mat(h + deq(xt_res))
+                xt_res = mat(h + deq(xt_res), int8=residual_int8)
             acc = deq(xt_res) if acc is None else acc + deq(xt_res)
         x = acc / nk
 
@@ -199,9 +216,11 @@ def _embed(params, code, spkr, cfg):
 
 def calibrate_qscales(params: dict, code: jnp.ndarray, spkr,
                       cfg: VocoderModelConfig, *, margin: float = 1.0,
-                      lane_target: int = 128) -> jnp.ndarray:
+                      lane_target: int = 128,
+                      residual_int8: bool = False) -> tuple:
     """Run the float forward once on a representative batch and return the
-    per-site static activation scales (absmax * margin / 127).
+    per-site, per-CHANNEL static activation scales
+    (tuple of (C_site,) arrays: absmax over (B, T) * margin / 127).
 
     margin > 1 leaves clip headroom for batches louder than calibration;
     the on-chip fidelity gate picks the shipped value."""
@@ -209,28 +228,33 @@ def calibrate_qscales(params: dict, code: jnp.ndarray, spkr,
     def f(params, code, spkr):
         tape = _QTape("calibrate")
         _forward(params, _embed(params, code, spkr, cfg), cfg, tape,
-                 lane_target)
-        return jnp.stack(tape.collected)
+                 lane_target, residual_int8=residual_int8)
+        return tuple(tape.collected)
 
     absmax = jax.jit(f)(params, code, spkr)
     import numpy as np
 
-    a = np.asarray(absmax, np.float64)
-    a = np.where(a > 0, a, 1.0)
-    return jnp.asarray(a * margin / quant_ops.QMAX, jnp.float32)
+    out = []
+    for a in absmax:
+        a = np.asarray(a, np.float64)
+        a = np.where(a > 0, a, 1.0)
+        out.append(jnp.asarray(a * margin / quant_ops.QMAX, jnp.float32))
+    return tuple(out)
 
 
 def apply_code_generator_staticq(params: dict, code: jnp.ndarray, spkr,
-                                 qscales: jnp.ndarray,
+                                 qscales: tuple,
                                  cfg: VocoderModelConfig,
-                                 lane_target: int = 128) -> jnp.ndarray:
+                                 lane_target: int = 128,
+                                 residual_int8: bool = False) -> jnp.ndarray:
     """Serving forward with static int8 inter-stage activations.
-    qscales: from `calibrate_qscales` (same checkpoint, same cfg)."""
+    qscales: from `calibrate_qscales` (same checkpoint, same cfg,
+    same residual_int8)."""
     tape = _QTape("serve", scales=qscales)
     y = _forward(params, _embed(params, code, spkr, cfg), cfg, tape,
-                 lane_target)
-    if tape.i != qscales.shape[0]:
+                 lane_target, residual_int8=residual_int8)
+    if tape.i != len(qscales):
         raise ValueError(
-            f"qscales has {qscales.shape[0]} sites, forward used {tape.i} "
+            f"qscales has {len(qscales)} sites, forward used {tape.i} "
             "(stale calibration for this config?)")
     return y

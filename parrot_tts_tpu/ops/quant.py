@@ -80,13 +80,16 @@ def quantize_per_out_channel(w: jnp.ndarray):
 
 
 def quantize_static(x: jnp.ndarray, scale) -> jnp.ndarray:
-    """x (float) -> int8 with a STATIC (data-independent) scale.
+    """x (float) -> int8 with STATIC (data-independent) scales.
 
     The static-activation serving mode (PERF.md r5): scales are calibrated
     once per checkpoint, so the per-call absmax reduction pass disappears
     and XLA can fuse this quantize into the producing conv's epilogue —
-    inter-stage tensors then cross HBM at 1 byte/element. Values beyond
-    scale*127 clip (the calibration margin bounds how often)."""
+    inter-stage tensors then cross HBM at 1 byte/element. `scale` is a
+    (C,) per-channel vector (broadcast over (B, T, C)) or a scalar; values
+    beyond scale*127 clip (the calibration margin bounds how often).
+    Per-channel scales cost nothing at conv time: the consuming conv folds
+    them into its weight quantization (int8_conv_qin)."""
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
     return q.astype(jnp.int8)
 
@@ -100,14 +103,21 @@ def int8_conv_qin(
     pads: tuple[int, int],
     rhs_dilation: int = 1,
 ) -> jnp.ndarray:
-    """Stride-1 NWC conv on an ALREADY-int8 activation (static scale sx).
+    """Stride-1 NWC conv on an ALREADY-int8 activation (static scales sx).
 
-    xq: (B, T, Ci) int8; w: (K, Ci, Co) float packed kernel (quantized
-    per-out-channel in-graph — weights are small next to activations, and
-    in-graph quantization keeps XLA on the fused int8 lowering).
-    Returns (B, T', Co) float32 = acc * (sx * sw) + b for the caller's
-    epilogue algebra (leaky/residual/requantize), which XLA fuses."""
-    wq, sw = quantize_per_out_channel(w)
+    xq: (B, T, Ci) int8; sx: (Ci,) per-channel scales (or scalar);
+    w: (K, Ci, Co) float packed kernel. The activation scales fold into
+    the weight before its per-out-channel quantization —
+    conv(xq*sx, w) == conv(xq, w*sx[ci]) exactly, because sx is constant
+    over the contraction's (K, T) window for each ci — so per-channel
+    activation resolution is free at conv time (measured necessary:
+    per-tensor scales cost ~5 dB SNR on the V1 generator, PERF.md r5).
+    Returns (B, T', Co) float32 = acc * sw' + b for the caller's epilogue
+    algebra (leaky/residual/requantize), which XLA fuses."""
+    sx = jnp.asarray(sx, jnp.float32)
+    w_eff = w.astype(jnp.float32) * (sx[None, :, None] if sx.ndim == 1
+                                     else sx)
+    wq, sw = quantize_per_out_channel(w_eff)
     acc = jax.lax.conv_general_dilated(
         xq, wq,
         window_strides=(1,),
@@ -116,7 +126,7 @@ def int8_conv_qin(
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (sx * sw[None, None, :])
+    y = acc.astype(jnp.float32) * sw[None, None, :]
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y

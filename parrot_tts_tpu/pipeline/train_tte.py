@@ -28,7 +28,13 @@ from parrot_tts_tpu.train import tte as tte_train
 
 
 def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
-        max_steps: int | None = None, resume: bool = True) -> dict:
+        max_steps: int | None = None, resume: bool = True,
+        crash_at_step: int | None = None) -> dict:
+    """crash_at_step: recovery-drill hook (scripts/production_runs.py) —
+    abort mid-run WITHOUT the final checkpoint save, so resume must come
+    from the last periodic ckpt. A real SIGKILL would exercise the same
+    trainer path but wedges this image's TPU relay for ~13 min (the grant
+    is only reclaimed by timeout), so the drill raises instead."""
     run_dir = Path(run_dir or cfg.root_path)
     tcfg = cfg.tte_train
 
@@ -122,6 +128,10 @@ def run(cfg: PipelineConfig, *, run_dir: str | Path | None = None,
                          metadata={"step": opt_steps,
                                    **{f"val_{k}": v
                                       for k, v in last_val.items()}})
+            if crash_at_step is not None and opt_steps >= crash_at_step:
+                raise RuntimeError(
+                    f"simulated crash at optimizer step {opt_steps} "
+                    "(recovery drill)")
             if opt_steps >= total:
                 done = True
                 break

@@ -27,7 +27,11 @@ from parrot_tts_tpu.train import vocoder as voc_train
 
 def run(cfg: PipelineConfig, *, data_dir: str | Path,
         run_dir: str | Path = "runs/vocoder",
-        max_steps: int | None = None, resume: bool = True) -> dict:
+        max_steps: int | None = None, resume: bool = True,
+        crash_at_step: int | None = None) -> dict:
+    """crash_at_step: recovery-drill hook (scripts/production_runs.py) —
+    abort mid-run WITHOUT the final checkpoint save (see
+    pipeline/train_tte.py for why a raise, not SIGKILL)."""
     run_dir = Path(run_dir)
     mcfg, tcfg, mel_cfg = cfg.vocoder_model, cfg.vocoder_train, cfg.mel
 
@@ -94,6 +98,9 @@ def run(cfg: PipelineConfig, *, data_dir: str | Path,
                 writer.scalar("validation/mel_spec_error", val_err, steps)
             if steps % tcfg.checkpoint_interval == 0:
                 mgr.save(steps, jax.device_get(state))
+            if crash_at_step is not None and steps >= crash_at_step:
+                raise RuntimeError(
+                    f"simulated crash at step {steps} (recovery drill)")
             if steps >= total:
                 done = True
                 break

@@ -305,9 +305,13 @@ def main():
     if md.exists():
         text = md.read_text()
         marker = "\n## Convergence smoke"
-        if marker in text:                 # replace the previous block
-            text = text[: text.index(marker)]
-        md.write_text(text + block)
+        tail = ""
+        if marker in text:                 # replace ONLY the previous block
+            start = text.index(marker)
+            nxt = text.find("\n## ", start + 1)
+            tail = text[nxt:] if nxt != -1 else ""
+            text = text[:start]
+        md.write_text(text + block + tail)
     else:
         md.write_text("# VALIDATION\n" + block)
     log("convergence smoke: OK")

@@ -175,6 +175,56 @@ def main():
         rec("G-side cotangent (grad wrt y_hat)",
             timeit(jax.jit(jax.grad(g_loss)), y_hat))
 
+    if on("cotsplit"):
+        # 5b. split the G-side cotangent (r4: 24.6 ms) by loss component
+        mel_real = voc_train._mel(batch["audio"], mel_cfg)
+
+        def mel_only(yh):
+            return losses.mel_l1_loss(mel_real,
+                                      voc_train._mel(yh[:, :, 0], mel_cfg))
+
+        def mpd_only(yh):
+            f_rs, f_gs, fr, fg = disc.apply_mpd(mpd_p, y, yh, dtype=ddt)
+            fm = losses.feature_loss(
+                [list(map(jax.lax.stop_gradient, f)) for f in fr], fg)
+            return fm + losses.generator_loss(f_gs)[0]
+
+        def msd_only(yh):
+            s_rs, s_gs, sr, sg, _ = disc.apply_msd(msd_p, y, yh,
+                                                   update_sn=True, dtype=ddt)
+            fm = losses.feature_loss(
+                [list(map(jax.lax.stop_gradient, f)) for f in sr], sg)
+            return fm + losses.generator_loss(s_gs)[0]
+
+        rec("cotangent: mel loss only",
+            timeit(jax.jit(jax.grad(mel_only)), y_hat))
+        rec("cotangent: MPD fm+adv only",
+            timeit(jax.jit(jax.grad(mpd_only)), y_hat))
+        rec("cotangent: MSD fm+adv only",
+            timeit(jax.jit(jax.grad(msd_only)), y_hat))
+
+    if on("msdscales"):
+        # 3b. per-scale MSD param grads (r4 whole-MSD grad: 30.7 ms).
+        # scale 0 runs folded grouped convs (ops/folded.py); 1-2 pooled.
+        from parrot_tts_tpu.ops import conv as conv_ops
+
+        for si in range(3):
+            sp = msd_p["discriminators"][si]
+            y_s, yh_s = y, y_hat
+            for _ in range(si):
+                y_s = conv_ops.avg_pool1d(y_s, 4, 2, 2)
+                yh_s = conv_ops.avg_pool1d(yh_s, 4, 2, 2)
+
+            def one_s(p, ys=y_s, yhs=yh_s):
+                s_r, _, _ = disc.apply_discriminator_s(
+                    p, ys, update_sn=True, dtype=ddt, folded=True)
+                s_g, _, _ = disc.apply_discriminator_s(
+                    p, yhs, update_sn=True, dtype=ddt, folded=True)
+                return jnp.mean((1.0 - s_r) ** 2) + jnp.mean(s_g ** 2)
+
+            rec(f"  MSD scale {si} fwd+grad",
+                timeit(jax.jit(jax.grad(one_s)), sp))
+
     if on("mel"):
         # 6. loss-mel STFT fwd / grad
         rec("loss-mel fwd", timeit(jax.jit(

@@ -83,6 +83,15 @@ def main():
     ex.codes_for_wavs(corpus, upload_thread=False)
     dt_corpus_inline = (time.perf_counter() - t0) / args.iters
 
+    # 1c) readback-free corpus mode (r5, PERF.md 4f qualification): codes
+    # stay on device until one bulk drain at the end — tightens the
+    # "device-bound" bound with a REAL corpus path (uploads included)
+    t0 = time.perf_counter()
+    codes_defer = ex.codes_for_wavs(corpus, defer_readback=True)
+    dt_corpus_defer = (time.perf_counter() - t0) / args.iters
+    assert all(np.array_equal(a, b)
+               for a, b in zip(codes_defer, codes_all))
+
     # 2) device-bound: queue all batches, fetch last (PERF.md methodology)
     bucket = ex._bucket(n)
     batch = np.zeros((args.batch, bucket), np.float32)
@@ -109,6 +118,8 @@ def main():
             "corpus_pipelined_audio_s_per_s": round(audio_s / dt_corpus, 1),
             "corpus_inline_upload_audio_s_per_s": round(
                 audio_s / dt_corpus_inline, 1),
+            "corpus_defer_readback_audio_s_per_s": round(
+                audio_s / dt_corpus_defer, 1),
             "per_call_audio_s_per_s": round(audio_s / dt_stream, 1),
             "device_bound_audio_s_per_s": round(audio_s / dt_dev, 1),
             "ms_per_batch_streaming": round(dt_stream * 1e3, 1),

@@ -29,14 +29,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--exact",
-                    choices=("full", "selective", "selective-high", "off"),
+                    choices=("full", "selective", "selective-high",
+                             "hybrid", "off"),
                     default="selective-high",
                     help="TTE decode precision mode (A/B: 'selective' runs "
-                         "the decoder stack at default precision, gated "
-                         "unit-exact by tpu_parity_check)")
+                         "the decoder stack at default precision; 'hybrid' "
+                         "decodes fast and re-decodes near-tie samples "
+                         "exactly — both gated by tpu_parity_check)")
+    ap.add_argument("--quant", default=None,
+                    help="vocoder quant override (e.g. int8-static)")
     args = ap.parse_args()
     exact = {"full": True, "selective": "selective",
-             "selective-high": "selective-high", "off": False}[args.exact]
+             "selective-high": "selective-high", "hybrid": "hybrid",
+             "off": False}[args.exact]
 
     import jax
 
@@ -60,6 +65,8 @@ def main():
         hubert_codes=1000, n_speaker=10, vocab_size=len(tokenizer),
         pad_idx=tokenizer.pad_idx)
     voc_cfg = dataclasses.replace(VocoderModelConfig(), dtype="bfloat16")
+    if args.quant:
+        voc_cfg = dataclasses.replace(voc_cfg, quant=args.quant)
 
     tte_params = parrot.init_parrot(jax.random.key(0), tte_cfg)
     # bias an untrained duration head to ~5 frames/token (a realistic

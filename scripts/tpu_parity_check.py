@@ -228,6 +228,42 @@ def tte_decode_parity():
         "the serving default — fix the regression or change the default")
     sel_exact, sel_agree = sel_results["selective"]
 
+    # hybrid decode (round 5, VERDICT r4 #4): fast selective pass with
+    # per-sample min top-2 logit margins; near-tie samples re-decode
+    # exactly. GATES: (a) every sample whose selective decode flips a code
+    # vs the oracle must carry a margin BELOW the threshold (the flag
+    # catches all flips); (b) the full hybrid path through decode_buckets
+    # is unit-exact vs the oracle.
+    from parrot_tts_tpu.infer.tte_infer import decode_buckets
+
+    thr = 0.5
+    codes_h, mask_h, _, marg = parrot.infer_codes(
+        params, batch_j, cfg, out_len=t_bucket, exact="selective",
+        with_margin=True)
+    codes_h, mask_h = np.asarray(codes_h), np.asarray(mask_h)
+    marg = np.asarray(marg)
+    flipped = [i for i, ref in enumerate(ref_codes)
+               if codes_h[i][mask_h[i]].tolist() != list(ref)]
+    for i in flipped:
+        assert marg[i] < thr, (
+            f"sample {i} flips a code but its min margin {marg[i]:.4f} "
+            f">= threshold {thr} — the hybrid flag would miss it")
+    infer_fn = jax.jit(parrot.infer_codes,
+                       static_argnames=("cfg", "out_len", "exact",
+                                        "with_margin"))
+    units_h = decode_buckets(
+        infer_fn, params, cfg,
+        [(np.asarray(p, np.int32), s) for p, s in samples],
+        [(s_bucket, t_bucket, list(range(b)))], batch_size=8,
+        exact="hybrid", margin_threshold=thr)
+    hybrid_exact = all(units_h[i].tolist() == list(ref)
+                       for i, ref in enumerate(ref_codes))
+    assert hybrid_exact, "hybrid decode is not unit-exact on hardware"
+    flag_frac = float(np.mean(marg < thr))
+    log(f"  hybrid decode: unit-exact, margins {np.round(marg, 3).tolist()}"
+        f", flagged {flag_frac:.2f} of samples at thr={thr}, "
+        f"{len(flipped)} selective flips (all captured)")
+
     # informational: how close does the default-precision FAST path get?
     codes_f, mask_f, total_f = parrot.infer_codes(
         params, batch_j, cfg, out_len=t_bucket, exact=False)
@@ -245,7 +281,12 @@ def tte_decode_parity():
         "selective_high_unit_exact": sel_results["selective-high"][0],
         "selective_high_code_agreement": round(
             sel_results["selective-high"][1], 4),
-        "fast_mode_code_agreement": round(agree, 4)}
+        "fast_mode_code_agreement": round(agree, 4),
+        "hybrid_unit_exact": hybrid_exact,
+        "hybrid_margin_threshold": thr,
+        "hybrid_sample_margins": [round(float(m), 4) for m in marg],
+        "hybrid_flagged_fraction": round(flag_frac, 4),
+        "hybrid_selective_flips_captured": len(flipped)}
 
 
 # ---------------------------------------------------------------------------
@@ -296,6 +337,33 @@ def vocoder_fidelity():
                      "log_mel_l1": round(l1, 4)}
         log(f"  {name}: maxdev {maxdev:.2e}  SNR {snr:.1f} dB  "
             f"mel-L1 {l1:.4f}")
+    # int8-static (round 5): static activation scales, calibrated on a
+    # DIFFERENT batch than the one evaluated (the honest serving setting —
+    # scales never see the eval data); margin sweep bounds the clip risk
+    from parrot_tts_tpu.models.vocoder import generator_staticq as sq
+
+    calib_code = jnp.asarray(rng.integers(
+        0, cfg32.num_embeddings, size=(4, 120)).astype(np.int32))
+    calib_spkr = jnp.asarray(rng.integers(
+        0, cfg32.num_speakers, size=(4,)).astype(np.int32))
+    for margin in (1.0, 1.25):
+        cfgq = dataclasses.replace(cfg32, dtype="bfloat16",
+                                   quant="int8-static")
+        qs = sq.calibrate_qscales(params, calib_code, calib_spkr, cfgq,
+                                  margin=margin)
+        w = np.asarray(jax.jit(
+            lambda p, c, s: sq.apply_code_generator_staticq(
+                p, c, s, qs, cfgq))(params, code, spkr))[..., 0]
+        maxdev = float(np.abs(w32 - w).max())
+        snr = 10 * np.log10(float((w32 ** 2).mean())
+                            / max(float(((w32 - w) ** 2).mean()), 1e-20))
+        l1 = _mel_l1(w32, w)
+        name = f"bf16_int8_static_m{margin}"
+        out[name] = {"max_waveform_dev": maxdev, "snr_db": round(snr, 1),
+                     "log_mel_l1": round(l1, 4)}
+        log(f"  {name}: maxdev {maxdev:.2e}  SNR {snr:.1f} dB  "
+            f"mel-L1 {l1:.4f}")
+
     # hard gates: the CPU budgets re-proven on TPU numerics. maxdev and
     # mel-L1 match the CPU test's budgets; the SNR gate is 33 dB here —
     # SNR varies with the network/input draw (CPU draw: 40.3 dB at 24
@@ -325,12 +393,23 @@ def serving_ab_time():
 
     out = {}
     first = True
-    for quant in ("none", "none", "int8-tail", "int8"):
+    for quant in ("none", "none", "int8-tail", "int8", "int8-static"):
         cfg = dataclasses.replace(base, quant=quant)
 
-        @jax.jit
-        def synth(params, code, spkr):
-            return jnp.sum(gen.apply_code_generator(params, code, spkr, cfg))
+        if quant == "int8-static":
+            from parrot_tts_tpu.models.vocoder import generator_staticq as sq
+
+            qs = sq.calibrate_qscales(params, code, spkr, cfg)
+
+            @jax.jit
+            def synth(params, code, spkr):
+                return jnp.sum(sq.apply_code_generator_staticq(
+                    params, code, spkr, qs, cfg))
+        else:
+            @jax.jit
+            def synth(params, code, spkr):
+                return jnp.sum(gen.apply_code_generator(params, code, spkr,
+                                                        cfg))
 
         for _ in range(3):
             float(synth(params, code, spkr))

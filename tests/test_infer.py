@@ -165,3 +165,40 @@ def test_synthesizer_mesh_matches_single_device(rng):
         base2 += solo.synthesize(codes8[i:i + 2], spk8[i:i + 2])
     for a, b in zip(got4, base2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_hybrid_decode_margin_paths(rng):
+    """exact='hybrid': fast decode + margin readback, exact re-decode of
+    flagged samples. With threshold=inf every sample is flagged (all take
+    the exact path); with threshold=0 none are. On CPU all precision modes
+    agree, so both must equal the exact decode — the test exercises the
+    flag bookkeeping and the re-decode plan."""
+    import jax.numpy as jnp
+
+    from parrot_tts_tpu.core.config import (TTEModelConfig,
+                                            TransformerStackConfig)
+    from parrot_tts_tpu.infer.tte_infer import decode_buckets
+    from parrot_tts_tpu.models.tte import parrot
+
+    cfg = TTEModelConfig(
+        d_model=16, conv_n_filter=32, conv_kernel_sizes=(9, 1), max_len=512,
+        encoder=TransformerStackConfig(n_layer=1, n_head=2),
+        decoder=TransformerStackConfig(n_layer=1, n_head=2),
+        dur_n_filter=8, dur_kernel_size=3, hubert_codes=24, n_speaker=2,
+        vocab_size=12, pad_idx=0)
+    params = parrot.init_parrot(jax.random.key(0), cfg)
+    seqs = [rng.integers(2, cfg.vocab_size, size=n).astype(np.int32)
+            for n in (6, 8, 5)]
+    samples = [(s, i % 2) for i, s in enumerate(seqs)]
+    plan = [(8, 128, [0, 1, 2])]
+    infer = jax.jit(parrot.infer_codes,
+                    static_argnames=("cfg", "out_len", "exact",
+                                     "with_margin"))
+    base = decode_buckets(infer, params, cfg, samples, plan,
+                          batch_size=4, exact="selective-high")
+    for thr in (float("inf"), 0.0):
+        got = decode_buckets(infer, params, cfg, samples, plan,
+                             batch_size=4, exact="hybrid",
+                             margin_threshold=thr)
+        for a, b in zip(got, base):
+            np.testing.assert_array_equal(a, b)

@@ -171,7 +171,9 @@ def test_generator_int8_static(rng):
     spkr = jnp.asarray(rng.integers(0, 4, size=(2,)).astype(np.int32))
 
     qscales = sq.calibrate_qscales(params, code, spkr, cfg)
-    assert qscales.ndim == 1 and bool((np.asarray(qscales) > 0).all())
+    assert isinstance(qscales, tuple) and len(qscales) > 0
+    for s in qscales:   # per-channel vectors, all positive
+        assert s.ndim == 1 and bool((np.asarray(s) > 0).all())
 
     y_f = np.asarray(gen.apply_code_generator(params, code, spkr, cfg))
     y_q = np.asarray(sq.apply_code_generator_staticq(
