@@ -110,15 +110,16 @@ def run_vocoder(quant: str = "none", tte_result: dict | None = None) -> dict:
 
 
 def main():
-    # headline serving config decided by hardware measurement (rounds 3-4,
-    # VALIDATION.md): quant="int8" is +12.6% over bf16 (5647 vs 5016
-    # audio-s/s in the same-process A/B) at essentially no fidelity cost
-    # beyond bf16's own (SNR 35.4 vs 35.0 dB, mel-L1 0.295 vs 0.239, both
-    # within the serving budget). The gain is both rate and traffic: the
-    # int8 MXU rate is real (332 TOP/s = 1.70x bf16 marginal, PERF.md 4a;
-    # round-3's 1.0-1.12x reading was relay-overhead-polluted and is
-    # retracted) and int8 halves the activation bytes each fusion moves.
-    quant = os.environ.get("BENCH_QUANT", "int8")
+    # headline serving config decided by hardware measurement (rounds 3-5,
+    # VALIDATION.md / PERF.md r5): quant="int8-static" — static per-channel
+    # activation scales calibrated once per checkpoint, conv inputs int8
+    # across stage boundaries, residual carriers bf16. Same-process A/B
+    # (scripts/exp_staticq_ab.py): bf16 4785 / dynamic int8 5367 /
+    # int8-static 7417 audio-s/s (+38%), at SNR 34.0 dB and mel-L1 0.2375
+    # vs f32 — matching bf16's own fidelity (35.0 dB / 0.2387). The win is
+    # the per-call absmax reduction passes vanishing + int8 inter-stage
+    # HBM traffic + the real 1.70x int8 MXU rate (PERF.md 4a).
+    quant = os.environ.get("BENCH_QUANT", "int8-static")
     if "--quant" in sys.argv:
         quant = sys.argv[sys.argv.index("--quant") + 1]
 

@@ -235,8 +235,10 @@ def gan_production(total_steps: int, out_dir: Path,
             resblock_dilation_sizes=((1, 3),), num_embeddings=1000,
             embedding_dim=16, model_in_dim=32, multispkr="_",
             num_speakers=4)
-        # x256 total upsample -> hop 256 (8960 = 35 * 256 exactly)
-        tcfg = dataclasses.replace(tcfg, code_hop_size=256)
+        # x256 total upsample -> hop 256; short segment (8 codes) so the
+        # CPU mechanics pass compiles/steps fast
+        tcfg = dataclasses.replace(tcfg, code_hop_size=256,
+                                   segment_size=2048)
     if smoke:
         tcfg = dataclasses.replace(tcfg, checkpoint_interval=10,
                                    validation_interval=20,

@@ -372,6 +372,12 @@ def vocoder_fidelity():
     assert out["bf16"]["max_waveform_dev"] < 2e-3, out["bf16"]
     assert out["bf16"]["snr_db"] >= 33.0, out["bf16"]
     assert out["bf16"]["log_mel_l1"] < 0.3, out["bf16"]
+    # int8-static at margin 1.0 is the HEADLINE serving config (bench.py,
+    # round 5) — it must hold the same budgets or the default regresses
+    s10 = out["bf16_int8_static_m1.0"]
+    assert s10["max_waveform_dev"] < 2e-3, s10
+    assert s10["snr_db"] >= 33.0, s10
+    assert s10["log_mel_l1"] < 0.3, s10
     RESULTS["vocoder_fidelity_onchip"] = out
 
 
