@@ -74,13 +74,29 @@ def stft_magnitude(
     if center:
         y = _reflect_pad(y, n_fft // 2)
 
-    kernel = jnp.asarray(_stft_kernel(n_fft, win_size))
-    spec = jax.lax.conv_general_dilated(
-        y[:, :, None].astype(jnp.float32),
-        kernel,
-        window_strides=(hop_size,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
+    # Explicit framing + ONE (B*F, n_fft) x (n_fft, 2*n_bins) matmul.
+    # The earlier single-conv form (Cin=1, K=n_fft, stride=hop) could not
+    # be tiled onto the MXU by XLA — it executed on the VPU and cost
+    # ~20 ms fwd AND ~20 ms in the GAN step's mel cotangent for ~1 GFLOP
+    # of math (PERF.md 5e). Framed-matmul runs the same numbers on the
+    # MXU; the framing itself is strided slicing (n_fft % hop == 0, the
+    # loss-mel case) or a static gather (general hop).
+    y = y.astype(jnp.float32)
+    b, t = y.shape
+    f = 1 + (t - n_fft) // hop_size
+    if n_fft % hop_size == 0:
+        r = n_fft // hop_size
+        s = t // hop_size
+        blocks = y[:, : s * hop_size].reshape(b, s, hop_size)
+        frames = jnp.concatenate([blocks[:, i : i + f] for i in range(r)],
+                                 axis=-1)             # (B, F, n_fft)
+    else:
+        idx = (np.arange(f)[:, None] * hop_size
+               + np.arange(n_fft)[None, :])           # static (F, n_fft)
+        frames = y[:, idx]
+    kernel = jnp.asarray(_stft_kernel(n_fft, win_size))[:, 0, :]
+    spec = jnp.einsum(
+        "bfw,wo->bfo", frames, kernel,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                 # (B, n_frames, 2*n_bins)

@@ -183,15 +183,20 @@ def main():
             return losses.mel_l1_loss(mel_real,
                                       voc_train._mel(yh[:, :, 0], mel_cfg))
 
+        # stacked+folded to match the trainer's configuration
+        # (train/vocoder.py:151-154) — the unfolded MSD cotangent measured
+        # 77 ms vs ~25 for the whole folded region, a wrong-config reading
         def mpd_only(yh):
-            f_rs, f_gs, fr, fg = disc.apply_mpd(mpd_p, y, yh, dtype=ddt)
+            f_rs, f_gs, fr, fg = disc.apply_mpd(mpd_p, y, yh, dtype=ddt,
+                                                stacked=True)
             fm = losses.feature_loss(
                 [list(map(jax.lax.stop_gradient, f)) for f in fr], fg)
             return fm + losses.generator_loss(f_gs)[0]
 
         def msd_only(yh):
-            s_rs, s_gs, sr, sg, _ = disc.apply_msd(msd_p, y, yh,
-                                                   update_sn=True, dtype=ddt)
+            s_rs, s_gs, sr, sg, _ = disc.apply_msd(
+                msd_p, y, yh, update_sn=True, dtype=ddt, stacked=True,
+                folded=True)
             fm = losses.feature_loss(
                 [list(map(jax.lax.stop_gradient, f)) for f in sr], sg)
             return fm + losses.generator_loss(s_gs)[0]

@@ -48,7 +48,7 @@ def timeit(fn, *args, iters=15):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def marginal(build, ns=(1, 4, 8)):
+def marginal(build, ns=(2, 8, 16)):
     """build(n) -> (jitted fn, args). Returns (slope ms, intercept ms)."""
     ts = {}
     for n in ns:
@@ -124,7 +124,7 @@ def main():
     def build_attn(n):
         keys = jax.random.split(jax.random.key(0), n)
         params = [fft.init_fft_block(jax.random.key(100 + i), D, NF,
-                                     (K1, K2), NH)
+                                     (K1, K2))
                   for i in range(n)]
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *params)
@@ -229,6 +229,50 @@ def main():
 
     s, i0, ts = marginal(build_dw_im2col)
     rec("k=9 conv dW (explicit im2col matmul)", s, i0, ts, dw_flops)
+
+    # ---- whole 4-block decoder stack grad, marginal (cross-check vs the
+    # 3.25 ms single-shot from exp_tte_roofline: how much of that was
+    # dispatch floor?)
+    stack_flops = 4 * (ffn_flops + attn_flops) + head_flops
+
+    def build_stack(n):
+        stacks = []
+        for i in range(n):
+            blocks = [fft.init_fft_block(jax.random.key(1000 + 4 * i + j),
+                                         D, NF, (K1, K2))
+                      for j in range(4)]
+            stacks.append(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *blocks))
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stacks)
+        head_w = jnp.asarray(rng.standard_normal((n, D, HEAD)) * 0.02,
+                             jnp.float32)
+        x = jnp.asarray(rng.standard_normal((n, B, T, D)), jnp.float32)
+        keys = jax.random.split(jax.random.key(7), n)
+
+        def stack_loss(p4, hw, xi, key):
+            h = xi
+            for j in range(4):
+                pj = jax.tree_util.tree_map(lambda t: t[j], p4)
+                h = fft.apply_fft_block(
+                    pj, h, kernel_sizes=(K1, K2), n_head=NH,
+                    dropout_p=0.1, dropout_rng=jax.random.fold_in(key, j),
+                    deterministic=False)
+            return jnp.sum(jnp.einsum("btd,dc->btc", h, hw) ** 2)
+
+        def f(stacked, head_w, x, keys):
+            tot = 0.0
+            for i in range(n):
+                p_i = jax.tree_util.tree_map(lambda t: t[i], stacked)
+                g = jax.grad(stack_loss, argnums=(0, 1, 2))(
+                    p_i, head_w[i], x[i], keys[i])
+                tot += sum(jnp.max(jnp.abs(t))
+                           for t in jax.tree_util.tree_leaves(g))
+            return tot
+
+        return jax.jit(f), (stacked, head_w, x, keys)
+
+    s, i0, ts = marginal(build_stack, ns=(1, 2, 4))
+    rec("4-block decoder stack + head grad", s, i0, ts, stack_flops)
 
     print(json.dumps(report))
 
