@@ -92,12 +92,15 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
 
 def fetch(arr) -> np.ndarray:
     """Read a (possibly mesh-sharded) device array back as the full global
-    numpy value. Single-process: plain np.asarray (jax gathers addressable
-    shards). Multi-process: every host holds only its shards, so the global
-    value is assembled with a process allgather — the synthesis outputs this
-    is used on (codes, waveforms) are small next to HBM, and serving callers
-    need the full batch to unpad per-utterance results."""
-    if jax.process_count() > 1:
+    numpy value. Fully-addressable arrays (single process, or any array
+    not sharded across hosts) use plain np.asarray — calling
+    process_allgather on those would STACK a new leading process axis and
+    corrupt the result. Only a global array with non-addressable shards
+    needs the allgather; the synthesis outputs this is used on (codes,
+    waveforms) are small next to HBM, and serving callers need the full
+    batch to unpad per-utterance results."""
+    addressable = getattr(arr, "is_fully_addressable", True)
+    if jax.process_count() > 1 and not addressable:
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(arr))
@@ -107,6 +110,14 @@ def fetch(arr) -> np.ndarray:
 def pad_rows_to_multiple(n: int, multiple: int) -> int:
     """Rows a batch must grow to so the leading dim shards evenly."""
     return -(-n // multiple) * multiple
+
+
+def local_rows(global_rows: int) -> slice:
+    """This host's contiguous block of a global batch's rows (the slice
+    convention `shard_batch` + the loaders share: process-major contiguous
+    blocks). global_rows must divide evenly by process_count."""
+    loc = global_rows // jax.process_count()
+    return slice(jax.process_index() * loc, (jax.process_index() + 1) * loc)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

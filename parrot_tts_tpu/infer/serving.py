@@ -50,9 +50,11 @@ class ParrotTTS:
         1.0) at +23% throughput over full-f32 (True). "selective"
         (default-precision decoder) is +67% at 99.95% code agreement;
         "hybrid" decodes fast with per-sample top-2 logit margins and
-        re-decodes only near-tie samples exactly (unit-exact by gate,
-        ~"selective" throughput); False is all-default precision (not
-        exact).
+        re-decodes near-tie samples exactly — unit-exact by gate but
+        MEASURED SLOWER than "selective-high" (every production-length
+        sample carries a near-tie so ~100% re-decode; PERF.md 5b — kept
+        as infrastructure, not recommended); False is all-default
+        precision (not exact).
 
         mesh: optional `jax.sharding.Mesh` — both the TTE decode and the
         vocoder shard each batch over the mesh's `data` axis (the

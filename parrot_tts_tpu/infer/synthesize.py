@@ -132,8 +132,10 @@ class VocoderSynthesizer:
                 c = codes[gi][:t_len]
                 code_pad[j, : len(c)] = c
                 # repeat-pad with the code sequence itself (padding with code
-                # 0 would synthesize phantom audio; we trim to true length)
-                if len(c) < t_len:
+                # 0 would synthesize phantom audio; we trim to true length).
+                # empty sequences (empty/unknown text upstream) keep a zero
+                # row and trim to a zero-length waveform below
+                if 0 < len(c) < t_len:
                     reps = int(np.ceil(t_len / len(c)))
                     code_pad[j] = np.tile(c, reps)[:t_len]
                 spk[j] = speakers[gi]
@@ -148,12 +150,14 @@ class VocoderSynthesizer:
                 # BucketedLoader.batches); fetch() reassembles the global
                 # output on every host
                 if jax.process_count() > 1:
-                    loc = b_pad // jax.process_count()
-                    sl = slice(jax.process_index() * loc,
-                               (jax.process_index() + 1) * loc)
+                    sl = meshlib.local_rows(b_pad)
                     local = {"code": code_pad[sl], "spk": spk[sl]}
                 else:
                     local = {"code": code_pad, "spk": spk}
+                # int8-static: calibrate from HOST data before sharding
+                # (np.asarray on a multi-host sharded array would raise)
+                if self.cfg.quant == "int8-static" and self._qscales is None:
+                    self.calibrate(code_pad, spk)
                 sharded = meshlib.shard_batch(self.mesh, local)
                 y = meshlib.fetch(self._launch(sharded["code"],
                                                sharded["spk"]))

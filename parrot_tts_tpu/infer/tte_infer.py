@@ -57,10 +57,14 @@ def decode_buckets(
     exact by the hardware gate — and a 1-pass-bf16 decoder) while reading
     back each sample's min top-2 logit margin; samples whose margin falls
     below `margin_threshold` (where an argmax flip is possible) are
-    re-decoded in the unit-exact "selective-high" mode. The measured flip
-    rate is ~1/2000 codes, so the exact pass amortizes to ~free
-    (PERF.md r5; threshold picked from the on-chip margin distribution,
-    scripts/tpu_parity_check.py).
+    re-decoded in the unit-exact "selective-high" mode. MEASURED AND
+    REFUTED as a throughput lever (PERF.md 5b): at production decode
+    lengths every ~500-frame sample carries a near-tie (on-chip min
+    margins 0.000-0.003), so any safe threshold flags ~100% of samples
+    and hybrid decodes everything twice — STRICTLY SLOWER than
+    "selective-high" (224 vs 275 audio-s/s end-to-end). It IS unit-exact
+    by the hardware gate; kept as tested infrastructure, not a serving
+    recommendation.
     """
     from parrot_tts_tpu.core import mesh as meshlib
 
@@ -97,9 +101,7 @@ def decode_buckets(
                 import jax
 
                 if jax.process_count() > 1:
-                    loc = b_pad // jax.process_count()
-                    sl = slice(jax.process_index() * loc,
-                               (jax.process_index() + 1) * loc)
+                    sl = meshlib.local_rows(b_pad)
                     raw = {k: v[sl] for k, v in raw.items()}
                 batch = meshlib.shard_batch(mesh, raw)
             else:

@@ -26,6 +26,18 @@ Topology mirrors `generator.py::apply_generator` (reference
 `/root/reference/utils/vocoder/models.py:95-111`) with the same folded
 tail; only the materialization discipline differs. Calibration and
 serving share ONE forward body so the site order can never skew.
+
+The mirrored forward is a DELIBERATE duplication, not an oversight: the
+materialization points pervade every statement (conv inputs, residual
+carriers, MRF sums), so injecting them into apply_generator as callbacks
+would contort the trainable path that autodiff and the parity suite
+depend on, for a serving-only mode. Divergence is pinned by tests that
+compare this forward against apply_code_generator on the same params
+(tests/test_quant.py::test_generator_int8_static — the SNR envelope
+fails if the topologies drift) and by the on-chip fidelity gate
+(scripts/tpu_parity_check.py, hard budgets vs the f32 generator).
+Anyone changing generator.py's topology must update this file in the
+same commit.
 """
 
 from __future__ import annotations

@@ -113,7 +113,16 @@ def int8_conv_qin(
     activation resolution is free at conv time (measured necessary:
     per-tensor scales cost ~5 dB SNR on the V1 generator, PERF.md r5).
     Returns (B, T', Co) float32 = acc * sw' + b for the caller's epilogue
-    algebra (leaky/residual/requantize), which XLA fuses."""
+    algebra (leaky/residual/requantize), which XLA fuses.
+
+    The weight quantize deliberately stays IN-GRAPH per call rather than
+    precomputed at calibration: (a) the whole V1 weight set is ~28 MB vs
+    multi-GB activation traffic per serving batch, so the recompute is
+    <2% of the budget (cost-analysis in scripts/exp_staticq_cost.py);
+    (b) feeding pre-quantized int8 kernels as jit ARGUMENTS was the exact
+    configuration round 3 measured hitting a pathological XLA conv
+    lowering (PERF.md 3b row 3) — in-graph quantization keeps XLA on the
+    fused int8 path it demonstrably handles well."""
     sx = jnp.asarray(sx, jnp.float32)
     w_eff = w.astype(jnp.float32) * (sx[None, :, None] if sx.ndim == 1
                                      else sx)

@@ -202,3 +202,16 @@ def test_hybrid_decode_margin_paths(rng):
                              margin_threshold=thr)
         for a, b in zip(got, base):
             np.testing.assert_array_equal(a, b)
+
+
+def test_synthesize_empty_code_sequence(rng):
+    """Empty unit sequences (empty/unknown text upstream) yield zero-length
+    waveforms instead of crashing on the repeat-pad division."""
+    cfg = tiny_cfg()
+    params = gen.init_code_generator(jax.random.key(0), cfg)
+    synth = VocoderSynthesizer(params, cfg)
+    codes = [np.zeros((0,), np.int32),
+             rng.integers(0, 20, size=50).astype(np.int32)]
+    wavs = synth.synthesize(codes, [0, 1])
+    assert wavs[0].shape == (0,)
+    assert wavs[1].shape == (50 * cfg.total_upsample,)
