@@ -16,11 +16,16 @@ traffic on the HBM-bound folded tail). Here activation scales are STATIC
   * convs run on the int8 MXU rate (332 TOP/s = 1.70x bf16, PERF.md 4a)
     exactly like the dynamic path.
 
-The price is per-TENSOR (not per-row) scales: a value louder than the
-calibration absmax clips, and quiet utterances share the grid with loud
-batchmates. Fidelity is therefore gated on hardware next to the bf16 and
-dynamic-int8 bounds (scripts/tpu_parity_check.py; budgets SNR >= 33 dB,
-mel-L1 <= 0.3 vs f32).
+The price is STATIC (not per-call-dynamic) scales: a value louder than
+the calibration absmax clips. Two measured design points keep fidelity at
+bf16 parity (PERF.md 5a): scales are per-CHANNEL (folded into the weight
+quantization for free — per-tensor scales cost ~5 dB SNR), and residual
+carriers stay bf16 by default (`residual_int8=False` — quantization
+error then enters only at conv inputs, like the dynamic mode). Fidelity
+is gated on hardware next to the bf16 and dynamic-int8 bounds with a
+calibration-disjoint batch (scripts/tpu_parity_check.py; hard budgets
+maxdev < 2e-3, SNR >= 33 dB, mel-L1 < 0.3 vs f32; measured 34.0 dB /
+0.2375 — matching bf16's own 35.0 / 0.2387).
 
 Topology mirrors `generator.py::apply_generator` (reference
 `/root/reference/utils/vocoder/models.py:95-111`) with the same folded
@@ -270,3 +275,21 @@ def apply_code_generator_staticq(params: dict, code: jnp.ndarray, spkr,
             f"qscales has {len(qscales)} sites, forward used {tape.i} "
             "(stale calibration for this config?)")
     return y
+
+
+def save_qscales(path, qscales: tuple) -> None:
+    """Persist calibrated scales beside a checkpoint (npz, one array per
+    site) so serving restarts skip the calibration forward."""
+    import numpy as np
+
+    np.savez(path, **{f"site_{i:03d}": np.asarray(s)
+                      for i, s in enumerate(qscales)})
+
+
+def load_qscales(path) -> tuple:
+    """Inverse of save_qscales; returns the tuple apply_code_generator_staticq
+    consumes (site order preserved)."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return tuple(jnp.asarray(z[k]) for k in sorted(z.files))

@@ -244,16 +244,19 @@ def main():
         g_grads = jax.tree_util.tree_map(jnp.ones_like, gp)
         d_grads = jax.tree_util.tree_map(jnp.ones_like, (mpd_p, msd_p))
 
+        # params passed as ARGS (closing over them bakes them into the
+        # HLO as literals — the compile request exceeded the relay's
+        # body-size limit, HTTP 413)
         @jax.jit
-        def opt_both(gg, dg, og, od):
+        def opt_both(gp_, dp_, gg, dg, og, od):
             import optax
-            gu, og2 = opt_g.update(gg, og, gp)
-            du, od2 = opt_d.update(dg, od, (mpd_p, msd_p))
-            return (optax.apply_updates(gp, gu),
-                    optax.apply_updates((mpd_p, msd_p), du))
+            gu, og2 = opt_g.update(gg, og, gp_)
+            du, od2 = opt_d.update(dg, od, dp_)
+            return (optax.apply_updates(gp_, gu),
+                    optax.apply_updates(dp_, du))
         rec("optimizer updates (G + D)",
-            timeit(opt_both, g_grads, d_grads, state.opt_g_state,
-                   state.opt_d_state))
+            timeit(opt_both, gp, (mpd_p, msd_p), g_grads, d_grads,
+                   state.opt_g_state, state.opt_d_state))
 
     print(json.dumps(report))
 

@@ -216,3 +216,25 @@ def test_synthesizer_int8_static_lazy_calibration(rng):
         num = float((np.asarray(b) ** 2).mean())
         den = max(float(((np.asarray(a) - np.asarray(b)) ** 2).mean()), 1e-12)
         assert 10 * np.log10(num / den) > 15.0
+
+
+def test_qscales_save_load_roundtrip(tmp_path, rng):
+    """Calibrated static scales persist beside the ckpt and reload into an
+    identical serving output (serving restarts skip calibration)."""
+    from parrot_tts_tpu.models.vocoder import generator as gen
+    from parrot_tts_tpu.models.vocoder import generator_staticq as sq
+
+    cfg = VocoderModelConfig(**TINY)
+    params = gen.fold_params(gen.init_code_generator(jax.random.key(0), cfg))
+    code = jnp.asarray(rng.integers(0, 40, size=(2, 24)).astype(np.int32))
+    spkr = jnp.asarray(rng.integers(0, 4, size=(2,)).astype(np.int32))
+    qs = sq.calibrate_qscales(params, code, spkr, cfg)
+    p = tmp_path / "qscales.npz"
+    sq.save_qscales(p, qs)
+    qs2 = sq.load_qscales(p)
+    assert len(qs2) == len(qs)
+    y1 = np.asarray(sq.apply_code_generator_staticq(params, code, spkr,
+                                                    qs, cfg))
+    y2 = np.asarray(sq.apply_code_generator_staticq(params, code, spkr,
+                                                    qs2, cfg))
+    np.testing.assert_array_equal(y1, y2)
