@@ -161,6 +161,13 @@ class VocoderModelConfig:
     model_in_dim: int = 256          # code emb + speaker emb concat
     multispkr: str | None = "_"
     num_speakers: int = 10           # reference hardcodes nn.Embedding(10, ...) models.py:130
+    # f0 conditioning gate (reference models.py:126 stores h.get('f0') but
+    # never consumes it — the forward's kwarg-concat loop skips the key,
+    # models.py:163; dormant in every reference config). When set, an `f0`
+    # extra feature is upsample-concatenated into the generator input
+    # (extract with ops/f0.estimate_f0, pool with f0_to_code_rate) and
+    # model_in_dim must count its channel.
+    f0: bool = False
     dtype: str = "float32"
     # run tail stages (C < 128) in the space-to-depth folded layout so every
     # conv keeps full MXU lanes (ops/folded.py); numerically equivalent up
@@ -211,6 +218,7 @@ class VocoderModelConfig:
             embedding_dim=h["embedding_dim"],
             model_in_dim=h.get("model_in_dim", 128),
             multispkr=h.get("multispkr"),
+            f0=bool(h.get("f0") or False),
         )
 
 

@@ -107,7 +107,8 @@ class VocoderLoader:
 
     def __init__(self, dataset: VocoderDataset, batch_size: int,
                  seed: int = 1234, shuffle: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 with_f0: bool = False):
         if batch_size % process_count != 0:
             raise ValueError(
                 f"global batch_size={batch_size} must be divisible by "
@@ -119,6 +120,11 @@ class VocoderLoader:
         self.shuffle = shuffle
         self.process_index = process_index
         self.process_count = process_count
+        # opt-in f0 conditioning track per batch — the reference's dormant
+        # get_yaapt_f0 path (dataset.py:25-41), made functional: one batched
+        # static-shape NCCF jit call per batch, pooled to code rate so the
+        # generator's upsample-concat aligns (models.py:131-150).
+        self.with_f0 = with_f0
 
     def batches(self, epoch: int = 0) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed + epoch)
@@ -138,9 +144,16 @@ class VocoderLoader:
             idxs = idxs[self.process_index * local
                         : (self.process_index + 1) * local]
             items = [self.ds.load_item(i, rng) for i in idxs]
-            yield {
+            batch = {
                 "audio": np.stack([it["audio"] for it in items]),
                 "code": np.stack([it["code"] for it in items]),
                 "spkr": np.asarray([it["spkr"] for it in items], np.int32),
                 "filenames": [it["filename"] for it in items],
             }
+            if self.with_f0:
+                from parrot_tts_tpu.ops.f0 import estimate_f0, f0_to_code_rate
+                track = estimate_f0(batch["audio"])
+                batch["f0"] = np.asarray(
+                    f0_to_code_rate(track, batch["code"].shape[1]),
+                    np.float32)
+            yield batch

@@ -259,14 +259,49 @@ def init_code_generator(key, cfg: VocoderModelConfig) -> dict:
     return params
 
 
+def upsample_cond(signal: jnp.ndarray, max_frames: int) -> jnp.ndarray:
+    """Nearest-repeat upsample of a conditioning feature to the code frame
+    axis — the reference ``CodeGenerator._upsample`` (models.py:131-150).
+
+    Accepts (B, C, Tc), (B, C) or (B,) and returns (B, C, max_frames).
+    Like the reference, the condition length must divide ``max_frames``
+    (models.py:145-147 raises on any remainder)."""
+    if signal.ndim == 1:
+        signal = signal.reshape(-1, 1, 1)
+    elif signal.ndim == 2:
+        signal = signal[:, :, None]
+    elif signal.ndim != 3:
+        raise ValueError(f"condition must be rank 1-3, got {signal.shape}")
+    b, c, tc = signal.shape
+    rep = max_frames // tc
+    if rep * tc != max_frames:
+        raise NotImplementedError(
+            "Padding condition signal - misalignment between condition "
+            f"features: {tc} frames into {max_frames}")
+    return jnp.repeat(signal, rep, axis=-1)
+
+
 def apply_code_generator(params: dict, code: jnp.ndarray,
                          spkr: jnp.ndarray | None, cfg: VocoderModelConfig,
-                         precision=None) -> jnp.ndarray:
+                         precision=None,
+                         extra_feats: dict | None = None) -> jnp.ndarray:
     """code: (B, T) int unit ids; spkr: (B,) or (B,1) int speaker ids.
     Returns (B, T*320, 1) waveform in [-1, 1].
 
     The reference nearest-repeat-upsamples the (B, 1) speaker embedding over
-    T frames and concats channels (models.py:132-168)."""
+    T frames and concats channels (models.py:132-168).
+
+    ``extra_feats`` maps names to conditioning arrays ((B, C, Tc), (B, C) or
+    (B,)); each is upsample-concatenated like the reference's generic kwarg
+    loop (models.py:160-166), in sorted-name order for determinism. The
+    reference loop skips the ``f0`` key — its ``h.get('f0')`` gate
+    (models.py:126) is stored but never consumed, a vestige of the
+    speech-resynthesis upstream whose f0 quantizer this reference dropped.
+    We give the gate its obvious meaning: with ``cfg.f0`` set, an ``f0``
+    feature IS concatenated (the functional form of the dormant capability);
+    with ``cfg.f0`` unset (every reference config) the key is skipped
+    exactly as the reference does. ``model_in_dim`` must count every
+    concatenated channel."""
     x = jnp.take(params["dict"], code, axis=0)              # (B, T, E)
     if cfg.multispkr:
         if spkr is None:
@@ -275,6 +310,14 @@ def apply_code_generator(params: dict, code: jnp.ndarray,
         s = jnp.take(params["spkr"], spkr, axis=0)          # (B, E)
         s = jnp.broadcast_to(s[:, None, :], x.shape)
         x = jnp.concatenate([x, s], axis=-1)                # (B, T, 2E)
+    if extra_feats:
+        t = x.shape[1]
+        for name in sorted(extra_feats):
+            if name in ("spkr", "code") or (name == "f0" and not cfg.f0):
+                continue                    # reference skip list models.py:163
+            feat = upsample_cond(jnp.asarray(extra_feats[name],
+                                             jnp.float32), t)
+            x = jnp.concatenate([x, jnp.swapaxes(feat, 1, 2)], axis=-1)
     return apply_generator(params, x, cfg, precision=precision)
 
 

@@ -63,11 +63,16 @@ def train_aligner(
     model_cfg: AlignerModelConfig | None = None,
     log_dir: str | Path | None = None,
     seed: int = 0,
+    max_steps: int | None = None,
+    crash_at_step: int | None = None,
 ) -> dict:
     """Train the CTC aligner on one speaker's mels/tokens directory.
 
     Resumes from `data_dir/ckpt` when a checkpoint exists (the reference
-    resumes from `latest_model.pt`, trainer.py:43-53)."""
+    resumes from `latest_model.pt`, trainer.py:43-53). `max_steps` caps the
+    step count across epochs; `crash_at_step` is the recovery-drill hook
+    (scripts/production_runs.py) — it aborts WITHOUT the end-of-epoch save,
+    as a real crash would."""
     data_dir = Path(data_dir)
     ds = AlignerDataset(data_dir)
     if model_cfg is None:
@@ -95,6 +100,7 @@ def train_aligner(
 
     step = int(state.step)
     last_loss = float("nan")
+    done = False
     try:
         for epoch in range(train_cfg.epochs):
             for batch in loader.batches(epoch):
@@ -110,6 +116,15 @@ def train_aligner(
                 if step % train_cfg.plot_steps == 0:
                     log_alignment_artifacts(writer, state, tokenizer,
                                             plot_mel, plot_tokens, step)
+                if crash_at_step is not None and step >= crash_at_step:
+                    raise RuntimeError(
+                        f"simulated crash at step {step} (recovery drill)")
+                if max_steps is not None and step >= max_steps:
+                    done = True
+                    break
+            if done:
+                mgr.save(step, jax.device_get(state), wait=True)
+                break
             mgr.save(step, jax.device_get(state),
                      wait=epoch == train_cfg.epochs - 1)
         # final artifacts so short runs still produce inspectables

@@ -110,9 +110,13 @@ def train_step(state: VocoderTrainState, batch: dict,
     # consumes y_g_hat as a constant, the G step backprops the loss-side
     # cotangent through the saved generator linearization — no second
     # generator forward (measured ~19% of the step, PERF.md 3d).
+    # optional conditioning tracks (e.g. f0 from VocoderLoader(with_f0=True))
+    # ride the generic upsample-concat path; presence is static per-compile
+    extra = {k: batch[k] for k in ("f0",) if k in batch} or None
     y_g_hat, gen_vjp = jax.vjp(
         lambda p: gen.apply_code_generator(
-            p, batch["code"], batch.get("spkr"), model_cfg),
+            p, batch["code"], batch.get("spkr"), model_cfg,
+            extra_feats=extra),
         state.gen_params)
     y_hat_sg = jax.lax.stop_gradient(y_g_hat)
 
@@ -207,6 +211,7 @@ def val_step(gen_params, batch: dict, model_cfg: VocoderModelConfig,
              mel_cfg: MelConfig):
     """Validation mel-L1 (reference train.py:199-228)."""
     y_hat = gen.apply_code_generator(
-        gen_params, batch["code"], batch.get("spkr"), model_cfg)
+        gen_params, batch["code"], batch.get("spkr"), model_cfg,
+        extra_feats={k: batch[k] for k in ("f0",) if k in batch} or None)
     mel_hat = _mel(y_hat[:, :, 0], mel_cfg)
     return jnp.mean(jnp.abs(batch["mel"] - mel_hat))

@@ -286,12 +286,98 @@ def gan_production(total_steps: int, out_dir: Path,
     }
 
 
+def aligner_production(total_steps: int, out_dir: Path,
+                       smoke: bool = False) -> dict:
+    """CTC aligner (the third trainable) at reference dims (lstm 512 /
+    conv 512 / 80 mels / batch 16, `/root/reference/utils/aligner/
+    aligner_train_config.yaml`) through the REAL driver
+    (`pipeline/train_aligner.py`), with the same mid-run crash + resume
+    drill as the TTE/GAN runs. Corpus: signature-band mels (each token id
+    lights a distinct 4-bin band, 3-5 frames per token, +noise) so the CTC
+    loss has a known-learnable optimum."""
+    import pickle
+
+    from parrot_tts_tpu.core.config import (AlignerModelConfig,
+                                            AlignerTrainConfig)
+    from parrot_tts_tpu.pipeline.train_aligner import train_aligner
+
+    rng = np.random.default_rng(0)
+    n_mels = 20 if smoke else 80
+    symbols = list("abcdefghijklmnopqrs"[: n_mels // 4 - 1])  # ids 1..19
+    data_dir = out_dir / "aligner_data"
+    (data_dir / "mels").mkdir(parents=True, exist_ok=True)
+    (data_dir / "tokens").mkdir(exist_ok=True)
+    index = []
+    for i in range(16 if smoke else 96):
+        n_tok = int(rng.integers(8, 17 if smoke else 41))
+        toks = rng.integers(1, len(symbols) + 1, size=n_tok).astype(np.int32)
+        frames = []
+        for tk in toks:
+            rep = int(rng.integers(3, 6))
+            sig = np.zeros(n_mels, np.float32)
+            sig[tk * 4 : tk * 4 + 4] = 1.0
+            frames.append(np.tile(sig, (rep, 1)))
+        mel = (np.concatenate(frames)
+               + 0.1 * rng.standard_normal(
+                   (sum(f.shape[0] for f in frames), n_mels)))
+        np.save(data_dir / "mels" / f"u{i}.npy", mel.astype(np.float32))
+        np.save(data_dir / "tokens" / f"u{i}.npy", toks)
+        index.append((f"u{i}", mel.shape[0], n_tok))
+    with open(data_dir / "dataset.pkl", "wb") as f:
+        pickle.dump(index, f)
+
+    mcfg = AlignerModelConfig(
+        n_mels=n_mels, num_symbols=len(symbols) + 1,
+        conv_dim=32 if smoke else 512, lstm_dim=32 if smoke else 512)
+    tcfg = AlignerTrainConfig(
+        batch_size=8 if smoke else 16, epochs=10 ** 9,
+        checkpoint_steps=5 if smoke else 1000,
+        plot_steps=10 if smoke else 1000,
+        mel_bucket_sizes=(128, 256), token_bucket_sizes=(32, 64))
+
+    crash_step = int(total_steps * 0.5) + 3          # NOT a save multiple
+    log(f"[ALIGNER] phase A: train to simulated crash at step {crash_step}")
+    t0 = time.perf_counter()
+    try:
+        train_aligner(data_dir, symbols, tcfg, model_cfg=mcfg,
+                      log_dir=data_dir / "logs", max_steps=total_steps,
+                      crash_at_step=crash_step)
+        raise AssertionError("crash hook did not fire")
+    except RuntimeError as e:
+        log(f"  crashed as planned: {e}")
+    t_crash = time.time()
+    log(f"[ALIGNER] phase B: resume -> {total_steps} steps")
+    stats = train_aligner(data_dir, symbols, tcfg, model_cfg=mcfg,
+                          log_dir=data_dir / "logs", max_steps=total_steps)
+    dt = time.perf_counter() - t0
+
+    rows = _read_jsonl(data_dir, "CTC_Loss")
+    cont = _continuity(rows, t_crash)
+    first, last = rows[0], rows[-1]
+    assert stats["steps"] >= total_steps
+    assert np.isfinite(last[1])
+    if not smoke:
+        assert last[1] < 0.25 * first[1], \
+            f"aligner CTC did not converge: {first[1]} -> {last[1]}"
+        assert cont["post_resume"]["loss"] < max(
+            1.5 * cont["pre_crash"]["loss"], 0.5 * first[1]), cont
+    return {
+        "total_steps": stats["steps"], "wall_s": round(dt, 1),
+        "steps_per_s": round(total_steps / dt, 2),
+        "crash_step": crash_step, "continuity": cont,
+        "ctc_first": round(first[1], 4), "ctc_last": round(last[1], 4),
+        "ctc_curve": _curve(rows),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tte-steps", type=int, default=50_000)
     ap.add_argument("--gan-steps", type=int, default=10_000)
+    ap.add_argument("--aligner-steps", type=int, default=10_000)
     ap.add_argument("--skip-tte", action="store_true")
     ap.add_argument("--skip-gan", action="store_true")
+    ap.add_argument("--skip-aligner", action="store_true")
     ap.add_argument("--out", default="/tmp/parrot_production_runs")
     ap.add_argument("--smoke", action="store_true",
                     help="mechanics shakeout: tight cadences, no "
@@ -316,6 +402,11 @@ def main():
     if not args.skip_gan:
         results["gan"] = gan_production(args.gan_steps, out_dir,
                                         smoke=args.smoke)
+        if not args.smoke:
+            path.write_text(json.dumps(results, indent=2))
+    if not args.skip_aligner:
+        results["aligner"] = aligner_production(args.aligner_steps, out_dir,
+                                                smoke=args.smoke)
         if not args.smoke:
             path.write_text(json.dumps(results, indent=2))
     if args.smoke:
@@ -345,6 +436,14 @@ def main():
             f"in {g['wall_s']} s ({g['steps_per_s']} steps/s sustained); "
             f"crash at step {g['crash_step']}, resume continuity "
             f"{g['continuity']}"]
+    if "aligner" in results:
+        a = results["aligner"]
+        block += [
+            f"- Aligner {a['total_steps']}-step reference-dims segment "
+            f"(lstm/conv 512, 80 mels): CTC {a['ctc_first']} -> "
+            f"{a['ctc_last']} in {a['wall_s']} s ({a['steps_per_s']} "
+            f"steps/s sustained); crash at step {a['crash_step']}, resume "
+            f"continuity {a['continuity']}"]
     text = md.read_text() if md.exists() else "# VALIDATION\n"
     if marker in text:
         start = text.index(marker)

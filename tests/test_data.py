@@ -288,3 +288,34 @@ def test_collate_beam_durations_shorter_than_tokens():
                     code_pad_idx=20)
     np.testing.assert_array_equal(
         batch["duration"][0], np.array([2, 3, 4, 0, 0, 0, 0, 0], np.int32))
+
+
+def test_vocoder_loader_with_f0(tmp_path, rng):
+    """with_f0=True attaches a (B, 1, Tc) code-rate pitch track — the
+    functional form of the reference's dormant f0 path (dataset.py:25-41)."""
+    from parrot_tts_tpu.data.vocoder_data import VocoderDataset, VocoderLoader
+
+    hop, seg, sr = 320, 3200, 16000
+    entries = []
+    t = np.arange(12800) / sr
+    for i, f in enumerate([140.0, 260.0]):
+        wav = (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        p = tmp_path / f"en_f_{i:03d}.wav"
+        audio_io.write_wav(p, wav, sr)
+        codes = rng.integers(0, 50, size=len(wav) // hop)
+        entries.append({"audio": str(p),
+                        "hubert": " ".join(map(str, codes))})
+    write_manifest(tmp_path / "train.txt", entries)
+    ds = VocoderDataset(tmp_path / "train.txt", segment_size=seg,
+                        code_hop_size=hop, multispkr="_")
+
+    (batch,) = VocoderLoader(ds, 2, seed=3, with_f0=True).batches(epoch=0)
+    assert batch["f0"].shape == (2, 1, seg // hop)
+    assert batch["f0"].dtype == np.float32
+    # each clip is a pure tone: voiced code frames should sit near its f0
+    expect = {f"en_f_{i:03d}.wav": f for i, f in enumerate([140.0, 260.0])}
+    for bi, fname in enumerate(batch["filenames"]):
+        f = expect[fname.rsplit("/", 1)[-1]]
+        v = batch["f0"][bi, 0]
+        v = v[v > 0]
+        assert v.size > 0 and abs(np.median(v) - f) / f < 0.05

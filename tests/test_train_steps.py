@@ -1,6 +1,8 @@
 """Compiled train-step tests: TTE and vocoder GAN engines on tiny configs,
 single-device and over an 8-device CPU mesh (DP sharding)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -271,3 +273,30 @@ def test_vocoder_val_step(rng):
         fmax=None)
     err = voc_train.val_step(state.gen_params, batch, mcfg, mel_cfg)
     assert np.isfinite(float(err))
+
+
+def test_vocoder_gan_train_step_f0_conditioned(rng):
+    """f0-conditioned variant (reference's dormant gate, models.py:126 —
+    functional here): an `f0` batch key rides the generic upsample-concat
+    conditioning through the full GAN step; gradients reach conv_pre."""
+    mcfg = dataclasses.replace(tiny_voc_cfg(), model_in_dim=9, f0=True)
+    tcfg = VocoderTrainConfig(learning_rate=1e-3)
+    mel_cfg = MelConfig(n_fft=64, num_mels=8, hop_size=16, win_size=64,
+                        sampling_rate=16000, fmax=None)
+    state = voc_train.init_state(jax.random.key(0), mcfg, tcfg,
+                                 steps_per_epoch=10)
+    b = tiny_voc_batch(rng)
+    b["f0"] = (120.0 + 50.0 * rng.random((2, 1, 64))).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    g0 = np.asarray(state.gen_params["conv_pre"]["v"])
+    state, metrics = voc_train.train_step(state, batch, mcfg, tcfg,
+                                          mel_cfg, 10)
+    for v in metrics.values():
+        assert np.isfinite(float(v)), metrics
+    assert not np.allclose(np.asarray(state.gen_params["conv_pre"]["v"]), g0)
+    # val path consumes the same key
+    vb = dict(batch)
+    vb["mel"] = jnp.zeros((2, 64, 8))
+    l = voc_train.val_step(state.gen_params, vb, mcfg, mel_cfg)
+    assert np.isfinite(float(l))
