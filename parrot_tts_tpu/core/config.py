@@ -218,7 +218,7 @@ class VocoderModelConfig:
             embedding_dim=h["embedding_dim"],
             model_in_dim=h.get("model_in_dim", 128),
             multispkr=h.get("multispkr"),
-            f0=bool(h.get("f0") or False),
+            f0=bool(h.get("f0")),
         )
 
 

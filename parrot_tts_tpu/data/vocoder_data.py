@@ -108,7 +108,8 @@ class VocoderLoader:
     def __init__(self, dataset: VocoderDataset, batch_size: int,
                  seed: int = 1234, shuffle: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 with_f0: bool = False):
+                 with_f0: bool = False,
+                 f0_kwargs: dict | None = None):
         if batch_size % process_count != 0:
             raise ValueError(
                 f"global batch_size={batch_size} must be divisible by "
@@ -124,7 +125,10 @@ class VocoderLoader:
         # get_yaapt_f0 path (dataset.py:25-41), made functional: one batched
         # static-shape NCCF jit call per batch, pooled to code rate so the
         # generator's upsample-concat aligns (models.py:131-150).
+        # f0_kwargs forwards extractor params (rate=, f0_min=, f0_max=, ...)
+        # for corpora that are not 16 kHz / speech-band defaults.
         self.with_f0 = with_f0
+        self.f0_kwargs = dict(f0_kwargs or {})
 
     def batches(self, epoch: int = 0) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed + epoch)
@@ -152,8 +156,14 @@ class VocoderLoader:
             }
             if self.with_f0:
                 from parrot_tts_tpu.ops.f0 import estimate_f0, f0_to_code_rate
-                track = estimate_f0(batch["audio"])
+                track = estimate_f0(batch["audio"], **self.f0_kwargs)
+                # frames_per_code = code hop / f0 hop (both in samples)
+                rate = self.f0_kwargs.get("rate", 16000)
+                f0_hop = int(rate * self.f0_kwargs.get(
+                    "frame_space_ms", 5.0) / 1000.0)
                 batch["f0"] = np.asarray(
-                    f0_to_code_rate(track, batch["code"].shape[1]),
+                    f0_to_code_rate(track, batch["code"].shape[1],
+                                    frames_per_code=max(
+                                        1, self.ds.code_hop_size // f0_hop)),
                     np.float32)
             yield batch

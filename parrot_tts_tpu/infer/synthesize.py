@@ -62,6 +62,16 @@ class VocoderSynthesizer:
                                          meshlib.replicated(mesh))
         self._synth = jax.jit(
             lambda p, c, s: gen.apply_code_generator(p, c, s, cfg))
+        if cfg.f0 and cfg.quant == "int8-static":
+            raise ValueError(
+                "int8-static serving does not support f0 conditioning: the "
+                "static activation scales are calibrated on the unconditioned "
+                "graph (models/vocoder/generator_staticq.py). Serve "
+                "f0-conditioned checkpoints with quant='none'/'int8'.")
+        self._synth_f0 = (jax.jit(
+            lambda p, c, s, f: gen.apply_code_generator(
+                p, c, s, cfg, extra_feats={"f0": f}))
+            if cfg.f0 else None)
         # static-activation int8 serving (cfg.quant == "int8-static"):
         # scales calibrate lazily on the first served batch (or explicitly
         # via calibrate()); see models/vocoder/generator_staticq.py
@@ -94,7 +104,9 @@ class VocoderSynthesizer:
             self._qscales = jax.device_put(self._qscales,
                                            meshlib.replicated(self.mesh))
 
-    def _launch(self, code_dev, spk_dev):
+    def _launch(self, code_dev, spk_dev, f0_dev=None):
+        if f0_dev is not None:
+            return self._synth_f0(self.params, code_dev, spk_dev, f0_dev)
         if self.cfg.quant == "int8-static":
             if self._qscales is None:
                 self.calibrate(np.asarray(code_dev), np.asarray(spk_dev))
@@ -107,11 +119,25 @@ class VocoderSynthesizer:
                 else self.mesh.shape[self.mesh.axis_names[0]])
 
     def synthesize(self, codes: list[np.ndarray],
-                   speakers: list[int]) -> list[np.ndarray]:
-        """Batch per length bucket; returns trimmed float32 waveforms."""
+                   speakers: list[int],
+                   f0: list[np.ndarray] | None = None) -> list[np.ndarray]:
+        """Batch per length bucket; returns trimmed float32 waveforms.
+
+        ``f0``: per-utterance CODE-RATE pitch tracks ((Tc,) or (1, Tc)),
+        required iff the model was trained with ``cfg.f0`` — extract from
+        source audio with `ops/f0.estimate_f0` + `f0_to_code_rate` (the
+        resynthesis semantics of the reference's CodeDataset)."""
         import jax.numpy as jnp
 
         from parrot_tts_tpu.core import mesh as meshlib
+
+        if self.cfg.f0 and f0 is None:
+            raise ValueError(
+                "this checkpoint is f0-conditioned (cfg.f0): pass per-"
+                "utterance code-rate f0 tracks (ops/f0.estimate_f0 + "
+                "f0_to_code_rate on the source audio)")
+        if not self.cfg.f0:
+            f0 = None                       # reference drops the key too
 
         hop = self.cfg.total_upsample
         results: list[np.ndarray | None] = [None] * len(codes)
@@ -128,6 +154,8 @@ class VocoderSynthesizer:
             b_pad = meshlib.pad_rows_to_multiple(b, self._n_data())
             code_pad = np.zeros((b_pad, t_len), np.int32)
             spk = np.zeros((b_pad,), np.int32)
+            f0_pad = (np.zeros((b_pad, 1, t_len), np.float32)
+                      if f0 is not None else None)
             for j, gi in enumerate(idxs):
                 c = codes[gi][:t_len]
                 code_pad[j, : len(c)] = c
@@ -139,9 +167,17 @@ class VocoderSynthesizer:
                     reps = int(np.ceil(t_len / len(c)))
                     code_pad[j] = np.tile(c, reps)[:t_len]
                 spk[j] = speakers[gi]
+                if f0_pad is not None:
+                    tr = np.asarray(f0[gi], np.float32).reshape(-1)[:t_len]
+                    f0_pad[j, 0, : len(tr)] = tr
+                    if 0 < len(tr) < t_len:  # mirror the code repeat-pad
+                        reps = int(np.ceil(t_len / len(tr)))
+                        f0_pad[j, 0] = np.tile(tr, reps)[:t_len]
             for j in range(b, b_pad):      # filler rows: repeat row 0
                 code_pad[j] = code_pad[0]
                 spk[j] = spk[0]
+                if f0_pad is not None:
+                    f0_pad[j] = f0_pad[0]
             if self.mesh is not None:
                 import jax
 
@@ -152,18 +188,24 @@ class VocoderSynthesizer:
                 if jax.process_count() > 1:
                     sl = meshlib.local_rows(b_pad)
                     local = {"code": code_pad[sl], "spk": spk[sl]}
+                    if f0_pad is not None:
+                        local["f0"] = f0_pad[sl]
                 else:
                     local = {"code": code_pad, "spk": spk}
+                    if f0_pad is not None:
+                        local["f0"] = f0_pad
                 # int8-static: calibrate from HOST data before sharding
                 # (np.asarray on a multi-host sharded array would raise)
                 if self.cfg.quant == "int8-static" and self._qscales is None:
                     self.calibrate(code_pad, spk)
                 sharded = meshlib.shard_batch(self.mesh, local)
                 y = meshlib.fetch(self._launch(sharded["code"],
-                                               sharded["spk"]))
+                                               sharded["spk"],
+                                               sharded.get("f0")))
             else:
-                y = np.asarray(self._launch(jnp.asarray(code_pad),
-                                            jnp.asarray(spk)))
+                y = np.asarray(self._launch(
+                    jnp.asarray(code_pad), jnp.asarray(spk),
+                    jnp.asarray(f0_pad) if f0_pad is not None else None))
             for j, gi in enumerate(idxs):
                 n = len(codes[gi][:t_len]) * hop
                 results[gi] = y[j, :n, 0]

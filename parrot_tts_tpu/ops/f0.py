@@ -189,15 +189,22 @@ def _interp_unvoiced(f0: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(voiced, f0, filled)
 
 
-def f0_to_code_rate(f0: jnp.ndarray, code_len: int) -> jnp.ndarray:
+def f0_to_code_rate(f0: jnp.ndarray, code_len: int,
+                    frames_per_code: int = 4) -> jnp.ndarray:
     """Pool a (B, 1, F) 5 ms-hop pitch track to the 20 ms HuBERT code rate:
     mean over the VOICED samples in each code frame (0 if none), giving a
     (B, 1, code_len) track that upsample-concat conditioning can align with
     the code embedding (generator ``_upsample`` needs the condition length
-    to divide the frame count — models.py:131-150)."""
+    to divide the frame count — models.py:131-150).
+
+    ``frames_per_code`` is the HOP ratio (code hop 320 / f0 hop 80 = 4 at
+    the defaults) — it must NOT be derived from floor(F/code_len): the
+    extractor's window+lag lookahead trims tail frames, so that quotient
+    can come out low and drift the pooling window ~5 ms per code frame.
+    The tail is zero-padded (unvoiced) to ``code_len * frames_per_code``."""
     b = f0.shape[0]
     f = f0.shape[-1]
-    per = max(1, f // code_len)
+    per = frames_per_code
     need = code_len * per
     track = f0[..., :need] if f >= need else jnp.pad(
         f0, ((0, 0), (0, 0), (0, need - f)))

@@ -65,6 +65,7 @@ def train_aligner(
     seed: int = 0,
     max_steps: int | None = None,
     crash_at_step: int | None = None,
+    epoch_saves: bool = True,
 ) -> dict:
     """Train the CTC aligner on one speaker's mels/tokens directory.
 
@@ -72,7 +73,11 @@ def train_aligner(
     resumes from `latest_model.pt`, trainer.py:43-53). `max_steps` caps the
     step count across epochs; `crash_at_step` is the recovery-drill hook
     (scripts/production_runs.py) — it aborts WITHOUT the end-of-epoch save,
-    as a real crash would."""
+    as a real crash would. `epoch_saves=False` drops the reference's
+    per-epoch latest-model save and relies on the `checkpoint_steps`
+    cadence alone — use it when epochs are only a few steps (a small
+    corpus would otherwise serialize the full state every handful of
+    steps)."""
     data_dir = Path(data_dir)
     ds = AlignerDataset(data_dir)
     if model_cfg is None:
@@ -125,8 +130,9 @@ def train_aligner(
             if done:
                 mgr.save(step, jax.device_get(state), wait=True)
                 break
-            mgr.save(step, jax.device_get(state),
-                     wait=epoch == train_cfg.epochs - 1)
+            if epoch_saves:
+                mgr.save(step, jax.device_get(state),
+                         wait=epoch == train_cfg.epochs - 1)
         # final artifacts so short runs still produce inspectables
         log_alignment_artifacts(writer, state, tokenizer, plot_mel,
                                 plot_tokens, step)

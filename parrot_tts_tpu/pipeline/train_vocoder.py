@@ -51,7 +51,8 @@ def run(cfg: PipelineConfig, *, data_dir: str | Path,
     global_batch = max(1, tcfg.batch_size // n_data) * n_data
     loader = VocoderLoader(train_ds, global_batch, seed=tcfg.seed,
                            process_index=jax.process_index(),
-                           process_count=jax.process_count())
+                           process_count=jax.process_count(),
+                           with_f0=mcfg.f0)
     steps_per_epoch = max(1, len(train_ds) // global_batch)
 
     state = voc_train.init_state(jax.random.key(tcfg.seed), mcfg, tcfg,
@@ -128,6 +129,11 @@ def validate(gen_params, val_ds: VocoderDataset, mcfg, mel_cfg, tcfg,
         }
         import jax.numpy as jnp
 
+        if mcfg.f0:
+            from parrot_tts_tpu.ops.f0 import estimate_f0, f0_to_code_rate
+            batch["f0"] = np.asarray(f0_to_code_rate(
+                estimate_f0(jnp.asarray(batch["audio"])),
+                batch["code"].shape[1]), np.float32)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         batch["mel"] = stft.mel_spectrogram(
             batch["audio"], n_fft=mel_cfg.n_fft, num_mels=mel_cfg.num_mels,
@@ -139,7 +145,8 @@ def validate(gen_params, val_ds: VocoderDataset, mcfg, mel_cfg, tcfg,
             from parrot_tts_tpu.models.vocoder import generator as gen
 
             y_hat = gen.apply_code_generator(
-                gen_params, batch["code"], batch["spkr"], mcfg)
+                gen_params, batch["code"], batch["spkr"], mcfg,
+                extra_feats={"f0": batch["f0"]} if mcfg.f0 else None)
             writer.audio(f"generated/y_hat_{i}",
                          np.asarray(y_hat)[0, :, 0], step,
                          mel_cfg.sampling_rate)

@@ -341,14 +341,15 @@ def aligner_production(total_steps: int, out_dir: Path,
     try:
         train_aligner(data_dir, symbols, tcfg, model_cfg=mcfg,
                       log_dir=data_dir / "logs", max_steps=total_steps,
-                      crash_at_step=crash_step)
+                      crash_at_step=crash_step, epoch_saves=False)
         raise AssertionError("crash hook did not fire")
     except RuntimeError as e:
         log(f"  crashed as planned: {e}")
     t_crash = time.time()
     log(f"[ALIGNER] phase B: resume -> {total_steps} steps")
     stats = train_aligner(data_dir, symbols, tcfg, model_cfg=mcfg,
-                          log_dir=data_dir / "logs", max_steps=total_steps)
+                          log_dir=data_dir / "logs", max_steps=total_steps,
+                          epoch_saves=False)
     dt = time.perf_counter() - t0
 
     rows = _read_jsonl(data_dir, "CTC_Loss")

@@ -147,3 +147,28 @@ def test_code_generator_generic_extra_feature():
                                    extra_feats={"emb": emb})
     assert wav.shape == (2, 200, 1)
     assert bool(jnp.all(jnp.isfinite(wav)))
+
+
+def test_f0_to_code_rate_chirp_alignment():
+    """Pooling must use the HOP ratio (4), not floor(F/code_len): the
+    extractor's window+lag lookahead trims tail frames, and deriving the
+    factor from the frame count drifts the pooling window ~5 ms per code
+    frame (16% end-of-segment f0 error on a chirp — review finding)."""
+    n = 8960                      # the production GAN segment
+    t = np.arange(n) / RATE
+    dur = n / RATE
+    f_inst = 100.0 + 200.0 * t / dur          # 100 -> 300 Hz linear chirp
+    phase = 2 * np.pi * np.cumsum(f_inst) / RATE
+    audio = (0.5 * np.sin(phase)).astype(np.float32)[None]
+
+    track = estimate_f0(jnp.asarray(audio))
+    code_len = n // 320
+    pooled = np.asarray(f0_to_code_rate(track, code_len))[0, 0]
+    # each code frame covers 20 ms; compare against the chirp's true
+    # frequency at that frame's center (tail frame may pool fewer samples)
+    centers = (np.arange(code_len) + 0.5) * 320 / RATE
+    f_true = 100.0 + 200.0 * centers / dur
+    voiced = pooled > 0
+    assert voiced[:-1].all()
+    err = np.abs(pooled[voiced] - f_true[voiced]) / f_true[voiced]
+    assert float(err.max()) < 0.08, (pooled, f_true)

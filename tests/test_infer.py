@@ -215,3 +215,39 @@ def test_synthesize_empty_code_sequence(rng):
     wavs = synth.synthesize(codes, [0, 1])
     assert wavs[0].shape == (0,)
     assert wavs[1].shape == (50 * cfg.total_upsample,)
+
+
+def test_synthesizer_f0_conditioned(rng):
+    """f0-conditioned serving: tracks ride the bucketed/padded batch and a
+    missing track is a hard error (reference inference feeds f0 from the
+    source audio — CodeDataset semantics)."""
+    import dataclasses
+
+    import pytest
+
+    cfg = dataclasses.replace(tiny_cfg(), model_in_dim=9, f0=True)
+    params = gen.init_code_generator(jax.random.key(0), cfg)
+    synth = VocoderSynthesizer(params, cfg)
+
+    lens = [37, 100]
+    codes = [rng.integers(0, 20, size=n).astype(np.int32) for n in lens]
+    tracks = [np.full(n, 150.0, np.float32) for n in lens]
+    wavs = synth.synthesize(codes, [0, 1], f0=tracks)
+    hop = cfg.total_upsample
+    for n, w in zip(lens, wavs):
+        assert w.shape == (n * hop,)
+        assert np.isfinite(w).all()
+    # conditioning is live and per-utterance exact under batching
+    solo = synth.synthesize([codes[0]], [0], f0=[tracks[0]])[0]
+    np.testing.assert_allclose(solo, wavs[0], atol=1e-5)
+    other = synth.synthesize([codes[0]], [0], f0=[tracks[0] * 0.5])[0]
+    assert not np.allclose(solo, other)
+
+    with pytest.raises(ValueError, match="f0-conditioned"):
+        synth.synthesize(codes, [0, 1])
+
+    # int8-static cannot serve f0 checkpoints (scales calibrated on the
+    # unconditioned graph) — constructor refuses
+    qcfg = dataclasses.replace(cfg, quant="int8-static")
+    with pytest.raises(ValueError, match="int8-static"):
+        VocoderSynthesizer(params, qcfg)
