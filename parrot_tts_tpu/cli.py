@@ -350,12 +350,33 @@ def _synthesize(args):
                 for e in entries]
     names = [Path(e["audio"]).stem for e in entries]
 
+    f0_tracks = None
+    if vcfg.f0:
+        # f0-conditioned checkpoint: extract code-rate pitch from each
+        # utterance's SOURCE audio (the reference's CodeDataset semantics —
+        # its inference pool reads f0 from the dataset items)
+        from parrot_tts_tpu.data.audio_io import read_wav
+        from parrot_tts_tpu.ops.f0 import f0_for_codes
+
+        wavs, rates = [], set()
+        for e in entries:
+            w, sr = read_wav(e["audio"])
+            wavs.append(np.asarray(w, np.float32) / 32768.0)
+            rates.add(sr)
+        if len(rates) != 1:
+            raise ValueError(f"mixed sample rates in manifest: {rates}")
+        f0_tracks = f0_for_codes(wavs, [len(c) for c in codes],
+                                 rate=rates.pop(),
+                                 code_hop=vcfg.total_upsample)
+
     if args.vc:  # all-speaker sweep (reference inference.py:157-170)
         n_spk = vcfg.num_speakers
         all_codes = [c for c in codes for _ in range(n_spk)]
         all_spk = [k for _ in codes for k in range(n_spk)]
         all_names = [f"{n}_spk{k}" for n in names for k in range(n_spk)]
         codes, speakers, out_names = all_codes, all_spk, all_names
+        if f0_tracks is not None:   # the source track rides every speaker
+            f0_tracks = [t for t in f0_tracks for _ in range(n_spk)]
     else:
         out_names = names
 
@@ -363,10 +384,13 @@ def _synthesize(args):
         # serial path (reference --debug, inference.py:237-251): one
         # utterance per device call, no bucketed batching
         paths = []
-        for c, s, n in zip(codes, speakers, out_names):
-            paths += synth.to_wavs([c], [s], args.out_dir, [n])
+        for i, (c, s, n) in enumerate(zip(codes, speakers, out_names)):
+            paths += synth.to_wavs(
+                [c], [s], args.out_dir, [n],
+                f0=[f0_tracks[i]] if f0_tracks is not None else None)
     else:
-        paths = synth.to_wavs(codes, speakers, args.out_dir, out_names)
+        paths = synth.to_wavs(codes, speakers, args.out_dir, out_names,
+                              f0=f0_tracks)
 
     copied = 0
     if getattr(args, "copy_gt", False):

@@ -215,9 +215,10 @@ class VocoderSynthesizer:
         return results  # type: ignore[return-value]
 
     def to_wavs(self, codes, speakers, out_dir: str | Path,
-                names: list[str] | None = None) -> list[Path]:
+                names: list[str] | None = None,
+                f0: list[np.ndarray] | None = None) -> list[Path]:
         out_dir = Path(out_dir)
-        wavs = self.synthesize(codes, speakers)
+        wavs = self.synthesize(codes, speakers, f0=f0)
         paths = []
         for i, w in enumerate(wavs):
             name = names[i] if names else f"utt_{i:05d}"

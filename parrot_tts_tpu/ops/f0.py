@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["estimate_f0", "f0_to_code_rate"]
+__all__ = ["estimate_f0", "f0_to_code_rate", "f0_for_codes"]
 
 
 def _frame_starts(n_padded: int, win: int, lag_max: int, hop: int) -> int:
@@ -213,3 +213,30 @@ def f0_to_code_rate(f0: jnp.ndarray, code_len: int,
     cnt = jnp.sum(voiced, axis=-1)
     s = jnp.sum(track, axis=-1)
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
+
+
+def f0_for_codes(wavs, code_lens, *, rate: int = 16000,
+                 code_hop: int = 320, **kwargs):
+    """Per-utterance code-rate f0 tracks from raw waveforms — the serving-
+    side extraction for f0-conditioned checkpoints (the reference computes
+    f0 from the SOURCE audio of each utterance, CodeDataset semantics).
+
+    Lengths are padded up to power-of-two buckets (>= 4096) so the jitted
+    extractor compiles once per bucket, not once per utterance; the zero
+    tail is unvoiced and the pooling trims to ``code_len`` frames. Returns
+    a list of (code_len,) float32 arrays.
+    """
+    f0_hop = int(rate * kwargs.get("frame_space_ms", 5.0) / 1000.0)
+    per = max(1, code_hop // f0_hop)
+    out = []
+    for w, cl in zip(wavs, code_lens):
+        w = np.asarray(w, np.float32).reshape(-1)
+        n = max(1, len(w))
+        bucket = 1 << max(12, int(np.ceil(np.log2(n))))
+        padded = np.zeros(bucket, np.float32)
+        padded[: len(w)] = w
+        track = estimate_f0(jnp.asarray(padded[None]), rate=rate, **kwargs)
+        out.append(np.asarray(
+            f0_to_code_rate(track, int(cl), frames_per_code=per),
+            np.float32)[0, 0])
+    return out

@@ -131,3 +131,48 @@ def test_synthesize_cli_debug_serial_matches_batched(vocoder_run, tmp_path,
         wb, _ = read_wav(out_b / name)
         wd, _ = read_wav(out_d / name)
         np.testing.assert_allclose(wb, wd, atol=2)  # int16 LSBs
+
+
+def test_synthesize_cli_f0_conditioned(tmp_path, rng, capsys):
+    """An f0=True checkpoint synthesizes from the CLI: tracks are extracted
+    from each manifest utterance's source audio (reference CodeDataset
+    resynthesis semantics) and ride the --vc sweep per speaker."""
+    import dataclasses
+
+    from parrot_tts_tpu.cli import main
+
+    cfg = dataclasses.replace(tiny_vcfg(), model_in_dim=17, f0=True)
+    params = gen.init_code_generator(jax.random.key(0), cfg)
+    ckpt_dir = tmp_path / "run" / "ckpt"
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(1, {"gen_params": jax.device_get(params)}, wait=True)
+    save_config_json(ckpt_dir, to_json(cfg))
+
+    hop = cfg.total_upsample
+    entries = []
+    t = np.arange(40 * hop) / 16_000
+    for i, (spk, f) in enumerate((("en_f", 180.0), ("en_m", 120.0))):
+        n_codes = 20 + 10 * i
+        wav = (0.5 * np.sin(2 * np.pi * f * t[: n_codes * hop])
+               ).astype(np.float32)
+        wav_path = tmp_path / "wavs" / f"{spk}_utt{i}.wav"
+        write_wav(wav_path, wav, 16_000)
+        entries.append({
+            "audio": str(wav_path),
+            "hubert": " ".join(map(str, rng.integers(
+                0, cfg.num_embeddings, size=n_codes))),
+        })
+    manifest = tmp_path / "hubert.txt"
+    write_manifest(manifest, entries)
+
+    out_dir = tmp_path / "gen"
+    main(["synthesize", "--manifest", str(manifest),
+          "--ckpt-dir", str(ckpt_dir), "--out-dir", str(out_dir), "--vc"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["wavs"] == 2 * cfg.num_speakers
+    for p in out_dir.glob("*_gen.wav"):
+        from parrot_tts_tpu.data.audio_io import read_wav
+
+        data, sr = read_wav(p)
+        assert data.size > 0 and np.isfinite(
+            data.astype(np.float32)).all()
