@@ -76,6 +76,45 @@ def lstm(x: jnp.ndarray, p: dict, reverse: bool = False) -> jnp.ndarray:
     return jnp.swapaxes(hs, 0, 1)
 
 
+def bilstm(x: jnp.ndarray, p_fw: dict, p_bw: dict) -> jnp.ndarray:
+    """Both LSTM directions in ONE scan: (B, T, In) -> (B, T, 2H).
+
+    Two independent `lstm()` calls run 2T sequential cells because XLA
+    executes the scans back-to-back on one stream; the cells are tiny
+    (512-dim matvecs), so the aligner step is latency-bound on the chain
+    length, not MXU-bound. Stacking the directions on a leading axis —
+    inputs (T, 2, B, In) with the backward direction time-flipped, weights
+    (2, In, 4H) — turns each step into one batched einsum and halves the
+    sequential chain to T cells. Same math as torch's bidirectional LSTM
+    (reference utils/aligner/model.py:23, batch_first + flip), identical
+    to `lstm(x, fw), lstm(x, bw, reverse=True)` up to fp reassociation."""
+    b_sz = x.shape[0]
+    h_dim = p_fw["w_hh"].shape[0]
+    xs = jnp.swapaxes(x, 0, 1)                       # (T, B, In)
+    xs2 = jnp.stack([xs, jnp.flip(xs, axis=0)], axis=1)   # (T, 2, B, In)
+    w_ih = jnp.stack([p_fw["w_ih"], p_bw["w_ih"]])   # (2, In, 4H)
+    w_hh = jnp.stack([p_fw["w_hh"], p_bw["w_hh"]])   # (2, H, 4H)
+    bias = jnp.stack([p_fw["b"], p_bw["b"]])[:, None, :]  # (2, 1, 4H)
+
+    def cell(carry, x_t):
+        h, c = carry                                 # (2, B, H)
+        gates = (jnp.einsum("dbi,dif->dbf", x_t, w_ih)
+                 + jnp.einsum("dbh,dhf->dbf", h, w_hh) + bias)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((2, b_sz, h_dim), x.dtype),
+            jnp.zeros((2, b_sz, h_dim), x.dtype))
+    _, hs = jax.lax.scan(cell, init, xs2)            # (T, 2, B, H)
+    fw = jnp.swapaxes(hs[:, 0], 0, 1)                # (B, T, H)
+    bw = jnp.swapaxes(jnp.flip(hs[:, 1], axis=0), 0, 1)
+    return jnp.concatenate([fw, bw], axis=-1)
+
+
 def init_aligner(key, cfg: AlignerModelConfig):
     """Returns (params, state). Conv stack is bias-free (reference
     model.py:9-11); LSTM/linear use torch-default uniform init."""
@@ -117,9 +156,7 @@ def apply_aligner(params: dict, state: dict, mel: jnp.ndarray, *,
         x = jax.nn.relu(x)
         x, bn_s = batch_norm(x, bn_p, bn_s, train=train)
         new_bns.append(bn_s)
-    fw = lstm(x, params["lstm_fw"])
-    bw = lstm(x, params["lstm_bw"], reverse=True)
-    x = jnp.concatenate([fw, bw], axis=-1)
+    x = bilstm(x, params["lstm_fw"], params["lstm_bw"])
     logits = x @ params["lin"]["w"] + params["lin"]["b"]
     return logits, {"bns": new_bns}
 
